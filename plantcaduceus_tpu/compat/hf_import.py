@@ -1,0 +1,196 @@
+"""HF Caduceus checkpoint importer: safetensors/torch.bin -> JAX pytree.
+
+The released PlantCaduceus weights live in HF hub repos as torch state dicts
+(the reference loads them via ``trust_remote_code`` —
+src/zero_shot_score.py:91). This module maps that state dict onto the
+framework's stacked pytree, handling:
+
+* torch Linear [out, in] -> JAX [in, out] transposes,
+* depthwise conv [di, 1, K] -> [di, K],
+* BiMamba fwd/rev weight stacking onto the direction group axis (with tied
+  in_proj/out_proj collapsing to Gio=1),
+* per-layer -> stacked-[n_layer] layout,
+* tolerant name resolution across wrapper nesting variants
+  (``mixer.submodule.mamba_fwd`` vs ``mixer.mamba_fwd`` vs plain ``mixer``).
+
+Weight-layout hazards are exactly the ones SURVEY.md §7.3 flags.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from plantcaduceus_tpu.models.config import CaduceusConfig
+
+
+def load_state_dict(model_dir) -> Dict[str, np.ndarray]:
+    """Load all tensors from model.safetensors / pytorch_model.bin (+shards)."""
+    p = Path(model_dir)
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = sorted(p.glob("*.safetensors"))
+    if st_files:
+        try:
+            from safetensors.numpy import load_file
+            for f in st_files:
+                tensors.update(load_file(str(f)))
+            return tensors
+        except ImportError:
+            from safetensors import safe_open  # type: ignore
+
+            for f in st_files:
+                with safe_open(str(f), framework="np") as sf:
+                    for k in sf.keys():
+                        tensors[k] = sf.get_tensor(k)
+            return tensors
+    bin_files = sorted(p.glob("pytorch_model*.bin"))
+    if bin_files:
+        import torch
+
+        for f in bin_files:
+            sd = torch.load(str(f), map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                tensors[k] = v.float().numpy()
+        return tensors
+    raise FileNotFoundError(f"no weight files under {p}")
+
+
+def load_hf_config(model_dir) -> CaduceusConfig:
+    """Translate the HF config.json into a CaduceusConfig."""
+    data = json.loads((Path(model_dir) / "config.json").read_text())
+    cmap = data.get("complement_map")
+    if isinstance(cmap, dict):
+        cmap = tuple(cmap[str(i)] if str(i) in cmap else cmap[i]
+                     for i in range(len(cmap)))
+    ssm = data.get("ssm_cfg") or {}
+    return CaduceusConfig(
+        d_model=data["d_model"],
+        n_layer=data["n_layer"],
+        vocab_size=data.get("vocab_size", 16),
+        d_state=ssm.get("d_state", 16),
+        d_conv=ssm.get("d_conv", 4),
+        expand=ssm.get("expand", 2),
+        bidirectional=data.get("bidirectional", True),
+        bidirectional_strategy=data.get("bidirectional_strategy", "add"),
+        bidirectional_weight_tie=data.get("bidirectional_weight_tie", True),
+        rcps=data.get("rcps", True),
+        complement_map=cmap,
+        rms_norm=data.get("rms_norm", True),
+        norm_epsilon=data.get("norm_epsilon", 1e-5),
+        residual_in_fp32=data.get("residual_in_fp32", True),
+        tie_word_embeddings=data.get("tie_word_embeddings", True),
+        pad_token_id=data.get("pad_token_id", 4),
+    )
+
+
+class _Resolver:
+    """Fuzzy state-dict key lookup: matches a dotted pattern allowing extra
+    wrapper segments (submodule/module/model) anywhere in the path."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = sd
+        self._keys = list(sd.keys())
+
+    def find(self, *fragments: str) -> Optional[str]:
+        """Return the unique key containing all fragments in order."""
+        pat = ".*".join(re.escape(f) for f in fragments)
+        rx = re.compile(rf"(^|\.){pat}$")
+        hits = [k for k in self._keys if rx.search(k)]
+        if len(hits) == 1:
+            return hits[0]
+        if len(hits) > 1:
+            # Prefer the shortest (least-nested) match.
+            hits.sort(key=len)
+            return hits[0]
+        return None
+
+    def get(self, *fragments: str) -> np.ndarray:
+        k = self.find(*fragments)
+        if k is None:
+            raise KeyError(f"no state-dict key matching {fragments}; "
+                           f"sample keys: {self._keys[:8]}")
+        return np.asarray(self.sd[k], np.float32)
+
+    def maybe(self, *fragments: str) -> Optional[np.ndarray]:
+        k = self.find(*fragments)
+        return None if k is None else np.asarray(self.sd[k], np.float32)
+
+
+def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
+                  dtype=jnp.float32):
+    """Build the framework parameter pytree from an HF checkpoint dir."""
+    if cfg is None:
+        cfg = load_hf_config(model_dir)
+    sd = load_state_dict(model_dir)
+    r = _Resolver(sd)
+    G = cfg.n_directions
+
+    def layer(i: int):
+        base = f"layers.{i}."
+
+        def dir_name(g: int) -> str:
+            return "mamba_fwd" if g == 0 else "mamba_rev"
+
+        # Tied check on in_proj: if rev weights are absent or identical,
+        # collapse to Gio=1.
+        in_w = [r.maybe(base, dir_name(g), "in_proj.weight") for g in range(G)]
+        if in_w[0] is None:  # unidirectional naming without wrapper
+            in_w = [r.get(base, "in_proj.weight")]
+        tied = (
+            len(in_w) == 1
+            or in_w[1] is None
+            or np.array_equal(in_w[0], in_w[1])
+        )
+        in_proj = np.stack([w.T for w in in_w[: (1 if tied else G)]])
+
+        out_w = [r.maybe(base, dir_name(g), "out_proj.weight") for g in range(G)]
+        if out_w[0] is None:
+            out_w = [r.get(base, "out_proj.weight")]
+        out_proj = np.stack([w.T for w in out_w[: (1 if tied else G)]])
+
+        def per_dir(*frag, transform=lambda x: x):
+            vals = []
+            for g in range(G):
+                v = r.maybe(base, dir_name(g), *frag)
+                if v is None:
+                    v = r.get(base, *frag)
+                vals.append(transform(v))
+            return np.stack(vals)
+
+        return {
+            "norm_weight": r.get(base, "norm", "weight"),
+            "in_proj": in_proj,
+            "out_proj": out_proj,
+            "conv_w": per_dir("conv1d.weight", transform=lambda w: w[:, 0, :]),
+            "conv_b": per_dir("conv1d.bias"),
+            "x_proj": per_dir("x_proj.weight", transform=lambda w: w.T),
+            "dt_proj_w": per_dir("dt_proj.weight", transform=lambda w: w.T),
+            "dt_proj_b": per_dir("dt_proj.bias"),
+            "A_log": per_dir("A_log"),
+            "D": per_dir("D"),
+        }
+
+    layers = [layer(i) for i in range(cfg.n_layer)]
+    blocks = {
+        k: jnp.asarray(np.stack([l[k] for l in layers]),
+                       jnp.float32 if k in ("dt_proj_b", "A_log", "D") else dtype)
+        for k in layers[0]
+    }
+
+    emb_key = r.find("embeddings", "weight") or r.find("word_embeddings", "weight")
+    if emb_key is None:
+        raise KeyError("embedding weights not found")
+    params = {
+        "embedding": jnp.asarray(sd[emb_key], dtype),
+        "blocks": blocks,
+        "norm_f_weight": jnp.asarray(r.get("norm_f", "weight"), dtype),
+    }
+    lm = r.maybe("lm_head", "weight")
+    if lm is not None and not np.array_equal(lm, np.asarray(sd[emb_key], np.float32)):
+        params["lm_head"] = jnp.asarray(lm, dtype)
+    return params, cfg

@@ -1,0 +1,151 @@
+"""Batched, sharded inference engine.
+
+The hot path of every scoring/embedding workload (SURVEY.md §3.1-3.2): a
+jitted forward over fixed-shape batches, weights replicated (or sharded) on
+the mesh, input windows sharded over the ``data`` axis. Ragged tails are
+padded to the fixed batch shape so XLA compiles exactly one executable per
+(batch, length) — the recompilation-control rule of SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plantcaduceus_tpu.models import caduceus
+from plantcaduceus_tpu.models.config import CaduceusConfig
+from plantcaduceus_tpu.parallel import mesh as meshlib
+
+
+class InferenceRunner:
+    """Owns params-on-device + the compiled forward; yields numpy results."""
+
+    def __init__(
+        self,
+        params,
+        cfg: CaduceusConfig,
+        mesh: Optional[Mesh] = None,
+        dtype=jnp.bfloat16,
+        batch_size: int = 128,
+    ):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh()
+        self.params = meshlib.shard_params(params, self.mesh, replicated=True)
+        self._batch_sharding = NamedSharding(self.mesh, meshlib.batch_spec())
+
+        @functools.partial(jax.jit, static_argnames=("want_hidden",))
+        def _fwd(params, ids, want_hidden=False):
+            out = caduceus.forward(params, ids, cfg, dtype=dtype,
+                                   output_hidden_states=want_hidden)
+            res = {"logits": out["logits"].astype(jnp.float32)}
+            if want_hidden:
+                res["hidden_states"] = out["hidden_states"].astype(jnp.float32)
+            return res
+
+        self._fwd = _fwd
+
+    # -- batching ----------------------------------------------------------
+
+    def _pad(self, ids: np.ndarray) -> tuple[np.ndarray, int]:
+        n = ids.shape[0]
+        if n == self.batch_size:
+            return ids, n
+        pad = np.zeros((self.batch_size - n,) + ids.shape[1:], ids.dtype)
+        pad[:] = self.cfg.pad_token_id
+        return np.concatenate([ids, pad], axis=0), n
+
+    def _iter_batches(self, ids: np.ndarray) -> Iterator[tuple[np.ndarray, int]]:
+        for i in range(0, ids.shape[0], self.batch_size):
+            yield self._pad(ids[i : i + self.batch_size])
+
+    def run(
+        self,
+        ids: np.ndarray,
+        extract: Callable[[dict], jax.Array],
+        want_hidden: bool = False,
+        progress: bool = True,
+    ) -> np.ndarray:
+        """Run the forward over all rows of ``ids`` ([N, L] int32), applying
+        ``extract`` (a host-side fn over the jitted outputs) per batch and
+        concatenating the results. ``extract`` sees dict with fp32 arrays."""
+        results = []
+        batches = list(self._iter_batches(ids))
+        it = enumerate(batches)
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                it = enumerate(tqdm(batches, desc="forward", unit="batch"))
+            except ImportError:
+                pass
+        for _, (chunk, n) in it:
+            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+            out = self._fwd(self.params, dev, want_hidden=want_hidden)
+            piece = np.asarray(extract(out))[:n]
+            results.append(piece)
+        return np.concatenate(results, axis=0)
+
+    # -- workload-specific extractors --------------------------------------
+
+    def masked_probs(self, ids: np.ndarray, nucleotide_ids, position: int,
+                     progress: bool = True) -> np.ndarray:
+        """Softmax probabilities over the 4 nucleotide logits at ``position``
+        for pre-masked inputs — the zero-shot scoring contract
+        (src/zero_shot_score.py:107-121). Returns [N, 4] float32."""
+        nuc = jnp.asarray(list(nucleotide_ids), jnp.int32)
+
+        def extract(out):
+            sel = out["logits"][:, position, :][:, nuc]
+            return jax.nn.softmax(sel, axis=-1)
+
+        return self.run(ids, extract, progress=progress)
+
+    def multi_masked_probs(self, ids: np.ndarray, nucleotide_ids,
+                           positions, progress: bool = True) -> np.ndarray:
+        """Probs at several masked positions, flattened row-major like the
+        reference's masked_select (src/zero-shot-eval.py:129-140):
+        [N * len(positions), 4]."""
+        nuc = jnp.asarray(list(nucleotide_ids), jnp.int32)
+        pos = jnp.asarray(list(positions), jnp.int32)
+
+        def extract(out):
+            sel = out["logits"][:, pos, :][..., nuc]           # [B, P, 4]
+            return jax.nn.softmax(sel, axis=-1)
+
+        probs = self.run(ids, extract, progress=progress)       # [N, P, 4]
+        return probs.reshape(-1, probs.shape[-1])
+
+    def positionwise_probs(self, ids: np.ndarray, nucleotide_ids,
+                           progress: bool = True) -> np.ndarray:
+        """Unmasked per-position probs over A,C,G,T: [N, L, 4]
+        (src/zero-shot-eval.py:143-178 semantics)."""
+        nuc = jnp.asarray(list(nucleotide_ids), jnp.int32)
+
+        def extract(out):
+            return jax.nn.softmax(out["logits"][..., nuc], axis=-1)
+
+        return self.run(ids, extract, progress=progress)
+
+    def center_embeddings(self, ids: np.ndarray, position: int,
+                          rc_average: bool = True,
+                          progress: bool = True) -> np.ndarray:
+        """Final-layer embedding at ``position``, RC-averaged per the
+        reference contract (src/train_XGBoost.py:104-113): split channels in
+        half, reverse the second half's channel order, mean."""
+
+        def extract(out):
+            emb = out["hidden_states"][:, position, :]
+            if not rc_average:
+                return emb
+            d = emb.shape[-1] // 2
+            fwd, rev = emb[:, :d], emb[:, d:][:, ::-1]
+            return (fwd + rev) * 0.5
+
+        return self.run(ids, extract, want_hidden=True, progress=progress)

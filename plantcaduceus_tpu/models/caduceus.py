@@ -1,0 +1,290 @@
+"""TPU-native Caduceus: bidirectional, RC-equivariant Mamba masked LM.
+
+Re-architecture notes (this is NOT a port of the torch remote code the
+reference loads via ``trust_remote_code`` — see SURVEY.md §2.2):
+
+The torch Caduceus composes three nested wrappers per layer — RCPS stream
+wrapper, BiMamba direction wrapper, Mamba mixer — each doing its own
+flips/concats and small matmuls. On TPU that structure wastes the MXU. Here
+the same mathematical model is flattened into large batched ops:
+
+* **RC stream folding.** An RCPS layer applies the *same* weights to the
+  forward stream and to the flip_LC-transformed RC stream. We therefore keep
+  the RC stream permanently in its "working frame": the residual stream is a
+  ``[2B, L, d]`` tensor whose rows ``B:`` hold the network state of the
+  reverse-complemented input. All norms/projections/scans act on it exactly
+  like on the forward rows — zero flips inside the network body. The RCPS
+  frame conversions collapse into (a) embedding the reverse-complemented
+  token ids as extra batch rows and (b) a single flip + complement-gather in
+  the LM head / hidden-state readout. f(RC(x)) = RC(f(x)) holds exactly.
+
+* **Direction folding.** The two scan directions of a BiMamba block share
+  in_proj/out_proj (bidirectional_weight_tie) but have separate
+  conv/x_proj/dt_proj/A/D. Direction becomes a leading *group* axis ``G``
+  over stacked per-direction weights; the reverse direction is realised by
+  flipping the time axis before/after one batched causal scan.
+
+Per layer this yields exactly two full-width MXU matmuls (in_proj, out_proj),
+two grouped matmuls (x_proj, dt_proj) and one grouped selective scan over
+``[G, 2B, L, d_inner]`` — versus 8 small mamba calls in the reference
+composition.
+
+Behavioural contract reproduced (reference usage):
+  * ``logits: [B, L, vocab]`` — src/zero_shot_score.py:114-118
+  * ``hidden_states[-1]: [B, L, 2*d_model]`` with channel layout
+    ``[fwd ‖ rc]`` — src/train_XGBoost.py:104-113, README RC-averaging
+  * optional ``labels`` / ``loss_weights`` weighted masked CE —
+    src/HF_pre_train.py:424-437 soft-mask semantics
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from plantcaduceus_tpu.models.config import CaduceusConfig
+from plantcaduceus_tpu.ops.conv import causal_conv1d
+from plantcaduceus_tpu.ops.norms import layer_norm, rms_norm
+from plantcaduceus_tpu.ops.selective_scan import selective_scan
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialisation (matches mamba_ssm defaults so pre-training behaves the same)
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, fan_in, shape, dtype=jnp.float32):
+    """Kaiming-uniform, torch nn.Linear default: U(-1/sqrt(fan_in), +)."""
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_params(rng: jax.Array, cfg: CaduceusConfig, dtype=jnp.float32) -> Params:
+    """Build the parameter pytree. Block params are stacked on a leading
+    n_layer axis so the forward pass can ``lax.scan`` over layers."""
+    d, di, N, R, K = cfg.d_model, cfg.d_inner, cfg.d_state, cfg.dt_rank, cfg.d_conv
+    G = cfg.n_directions
+    Gio = 1 if (cfg.bidirectional_weight_tie or G == 1) else G
+    L_ = cfg.n_layer
+
+    keys = jax.random.split(rng, 8)
+
+    # dt_proj special init (mamba_ssm): weight U(+-dt_rank^-0.5); bias such
+    # that softplus(bias) ~ LogUniform(dt_min, dt_max).
+    dt_min, dt_max, dt_floor = 1e-3, 1e-1, 1e-4
+    u = jax.random.uniform(keys[0], (L_, G, di))
+    dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+    dt = jnp.clip(dt, dt_floor, None)
+    # inverse softplus
+    dt_bias = dt + jnp.log(-jnp.expm1(-dt))
+
+    A = jnp.tile(jnp.arange(1, N + 1, dtype=jnp.float32), (L_, G, di, 1))
+
+    out_proj = _linear_init(keys[1], di, (L_, Gio, di, d))
+    # rescale_prenorm_residual (mamba _init_weights): out_proj /= sqrt(2*n_layer)
+    out_proj = out_proj / math.sqrt(2 * L_)
+
+    params: Params = {
+        "embedding": (0.02 * jax.random.normal(keys[2], (cfg.vocab_size, d))).astype(dtype),
+        "blocks": {
+            "norm_weight": jnp.ones((L_, d), dtype),
+            "in_proj": _linear_init(keys[3], d, (L_, Gio, d, 2 * di)).astype(dtype),
+            "out_proj": out_proj.astype(dtype),
+            "conv_w": _linear_init(keys[4], K, (L_, G, di, K)).astype(dtype),
+            "conv_b": _linear_init(keys[5], K, (L_, G, di)).astype(dtype),
+            "x_proj": _linear_init(keys[6], di, (L_, G, di, R + 2 * N)).astype(dtype),
+            "dt_proj_w": (
+                jax.random.uniform(keys[7], (L_, G, R, di), jnp.float32,
+                                   -(R ** -0.5), R ** -0.5)
+            ).astype(dtype),
+            "dt_proj_b": dt_bias.astype(jnp.float32),
+            "A_log": jnp.log(A),           # fp32 always (scan numerics)
+            "D": jnp.ones((L_, G, di), jnp.float32),
+        },
+        "norm_f_weight": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = 0.02 * jax.random.normal(
+            jax.random.fold_in(rng, 99), (cfg.vocab_size, d)
+        ).astype(dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward pieces
+# ---------------------------------------------------------------------------
+
+
+def rc_ids(input_ids: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+    """Reverse-complement token ids: complement map then reverse along L."""
+    cmap = jnp.asarray(cfg.complement_map, jnp.int32)
+    return jnp.flip(cmap[input_ids], axis=-1)
+
+
+def _norm(x, w, cfg):
+    if cfg.rms_norm:
+        return rms_norm(x, w, cfg.norm_epsilon)
+    return layer_norm(x, w, None, cfg.norm_epsilon)
+
+
+def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+    """One (Bi)Mamba mixer over ``x: [B, L, d]`` (B may include folded
+    streams). ``p`` holds a single layer's parameters (no n_layer axis)."""
+    G = cfg.n_directions
+    di, N, R = cfg.d_inner, cfg.d_state, cfg.dt_rank
+    Bsz, L, d = x.shape
+    cdtype = x.dtype
+
+    # in_proj: [Gio, d, 2di]. Tied (Gio=1) is the released-model fast path.
+    xz = jnp.einsum("bld,gdk->gblk", x, p["in_proj"].astype(cdtype))  # [Gio,B,L,2di]
+    xi, z = jnp.split(xz, 2, axis=-1)  # each [Gio, B, L, di]
+
+    # Fold direction into the group axis: direction 1 sees time-reversed input.
+    if G == 2:
+        if xi.shape[0] == 1:
+            xf = xi[0]
+            xg = jnp.stack([xf, jnp.flip(xf, axis=1)])  # [2, B, L, di]
+        else:
+            xg = jnp.stack([xi[0], jnp.flip(xi[1], axis=1)])
+    else:
+        xg = xi  # [1, B, L, di]
+
+    # Conv prologue + SiLU, per direction (grouped depthwise taps).
+    xg = causal_conv1d(xg, p["conv_w"].astype(cdtype), p["conv_b"].astype(cdtype),
+                       activation="silu")
+
+    # x_proj -> (dt_low_rank, B, C); dt_proj up to d_inner.
+    dbc = jnp.einsum("gbli,gip->gblp", xg, p["x_proj"].astype(cdtype))
+    dt_lr = dbc[..., :R]
+    Bm = dbc[..., R : R + N]
+    Cm = dbc[..., R + N :]
+    dt = jnp.einsum("gblr,gri->gbli", dt_lr, p["dt_proj_w"].astype(cdtype))
+
+    y = selective_scan(
+        xg, dt, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
+        dt_bias=p["dt_proj_b"], dt_softplus=True, impl=cfg.scan_impl,
+    )  # [G, B, L, di]
+
+    gate = jax.nn.silu(z)  # [Gio, B, L, di]
+
+    if G == 2 and xz.shape[0] == 1 and cfg.bidirectional_strategy == "add":
+        # Tied+add fast path: align rev output, share the gate, single out_proj.
+        y_sum = (y[0] + jnp.flip(y[1], axis=1)) * gate[0]
+        return y_sum @ p["out_proj"][0].astype(cdtype)
+
+    # General path: per-direction gate + out_proj, then combine.
+    outs = []
+    for g in range(G):
+        yg = y[g] if g == 0 else jnp.flip(y[g], axis=1)
+        zg = gate[min(g, gate.shape[0] - 1)]
+        og = yg * zg
+        W = p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype)
+        outs.append(og @ W)
+    if G == 1:
+        return outs[0]
+    if cfg.bidirectional_strategy == "add":
+        return outs[0] + outs[1]
+    return outs[0] * outs[1]  # ew_multiply
+
+
+def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
+             dtype=jnp.bfloat16) -> jax.Array:
+    """Run embedding + n_layer blocks + final norm.
+
+    Returns the *working-frame* hidden states ``[S*B, L, d]`` where S=2 when
+    rcps (rows B: are the RC stream) else 1. Use :func:`readout_hidden` to
+    convert to the HF-contract ``[B, L, hidden_size]`` layout.
+    """
+    ids = input_ids
+    if cfg.rcps:
+        ids = jnp.concatenate([input_ids, rc_ids(input_ids, cfg)], axis=0)
+    emb = params["embedding"].astype(dtype)
+    hidden = emb[ids]  # [SB, L, d]
+
+    # Mamba residual-stream recurrence: res_1 = emb;
+    # h_k = mixer(norm(res_k)); res_{k+1} = res_k + h_k. Final: norm_f(res_{n+1}).
+    residual = hidden.astype(jnp.float32 if cfg.residual_in_fp32 else dtype)
+
+    def block_fn(res, lp):
+        normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
+        out = mamba_mixer(lp, normed, cfg)
+        return res + out.astype(res.dtype), None
+
+    residual, _ = jax.lax.scan(block_fn, residual, params["blocks"])
+    return _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
+
+
+def readout_hidden(h_work: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+    """Working-frame ``[S*B, L, d]`` -> HF-contract hidden states.
+
+    For rcps: ``[B, L, 2d]`` where channels ``d:`` are the RC stream in its
+    stored frame (flip length AND channels) — the layout the reference's
+    RC-averaging assumes (src/train_XGBoost.py:108-113).
+    """
+    if not cfg.rcps:
+        return h_work
+    B = h_work.shape[0] // 2
+    fwd, rc = h_work[:B], h_work[B:]
+    rc_stored = jnp.flip(rc, axis=(1, 2))
+    return jnp.concatenate([fwd, rc_stored], axis=-1)
+
+
+def lm_logits(params: Params, h_work: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+    """MLM head. RCPS head: fwd logits + complement-permuted, time-flipped RC
+    logits (equivalent to the torch RCPSLMHead applied to the stored frame)."""
+    W = params.get("lm_head", params["embedding"]).astype(h_work.dtype)
+    logits = h_work @ W.T  # [SB, L, V]
+    if not cfg.rcps:
+        return logits
+    B = logits.shape[0] // 2
+    fwd = logits[:B]
+    cmap = jnp.asarray(cfg.complement_map, jnp.int32)
+    rc = jnp.flip(logits[B:], axis=1)[..., cmap]
+    out = fwd + rc
+    if cfg.lm_head_strategy == "mean":
+        out = out * 0.5
+    return out
+
+
+def forward(
+    params: Params,
+    input_ids: jax.Array,
+    cfg: CaduceusConfig,
+    dtype=jnp.bfloat16,
+    output_hidden_states: bool = False,
+) -> Dict[str, jax.Array]:
+    """Full masked-LM forward. Returns dict with ``logits`` and optionally
+    ``hidden_states`` (final layer only — the entry the reference reads)."""
+    h_work = backbone(params, input_ids, cfg, dtype=dtype)
+    out = {"logits": lm_logits(params, h_work, cfg)}
+    if output_hidden_states:
+        out["hidden_states"] = readout_hidden(h_work, cfg)
+    return out
+
+
+def mlm_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    loss_weights: Optional[jax.Array] = None,
+    ignore_index: int = -100,
+) -> jax.Array:
+    """Weighted masked cross-entropy.
+
+    ``labels == ignore_index`` positions contribute nothing; ``loss_weights``
+    implements the soft-masked (lowercase/repeat) down-weighting of
+    src/HF_pre_train.py:424-437: per-position weights multiply the CE and the
+    normaliser is the weight sum over scored positions.
+    """
+    valid = labels != ignore_index
+    labels_safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    w = valid.astype(jnp.float32)
+    if loss_weights is not None:
+        w = w * loss_weights.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)

@@ -1,0 +1,132 @@
+"""Device mesh, sharding specs, and distributed init.
+
+One mechanism replaces the reference's three torch DDP wrappers + NCCL
+(SURVEY.md §2.7): a ``jax.sharding.Mesh`` with named axes
+
+    data   — batch/data parallel (gradient psum, inference fan-out)
+    fsdp   — optional parameter/optimizer-state sharding (ZeRO-style)
+    tensor — optional tensor parallel over the d_inner axis of the mixer
+
+Collectives are inserted by GSPMD from sharding annotations; they ride ICI
+within a slice and DCN across slices automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1      # -1: all remaining devices
+    fsdp: int = 1
+    tensor: int = 1
+
+    def resolve(self, n_devices: int) -> Tuple[int, int, int]:
+        fixed = self.fsdp * self.tensor
+        data = self.data
+        if data == -1:
+            if n_devices % fixed != 0:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fsdp*tensor={fixed}"
+                )
+            data = n_devices // fixed
+        if data * fixed != n_devices:
+            raise ValueError(
+                f"mesh {data}x{self.fsdp}x{self.tensor} != {n_devices} devices"
+            )
+        return data, self.fsdp, self.tensor
+
+
+def make_mesh(config: Optional[MeshConfig] = None,
+              devices=None) -> Mesh:
+    """Build the (data, fsdp, tensor) mesh over all (or given) devices."""
+    config = config or MeshConfig()
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    d, f, t = config.resolve(devices.size)
+    return Mesh(devices.reshape(d, f, t), ("data", "fsdp", "tensor"))
+
+
+def initialize_distributed() -> None:
+    """Multi-host init (no-op single-process). Call once at CLI start."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules
+# ---------------------------------------------------------------------------
+
+
+def batch_spec() -> P:
+    """Input batches shard over data (and fsdp, which acts as extra DP for
+    activations when parameters are fsdp-sharded)."""
+    return P(("data", "fsdp"))
+
+
+def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
+    """Partition rules for the Caduceus parameter pytree.
+
+    replicated=True (inference / small models): everything replicated.
+    replicated=False: FSDP-shard the largest axis of each tensor over 'fsdp'
+    and tensor-shard d_inner-bearing axes over 'tensor'.
+    """
+
+    def rule(path: str, shape: Tuple[int, ...]) -> P:
+        if replicated:
+            return P()
+        # Tensor parallel: shard the d_inner axis of mixer weights.
+        tp_axes = {
+            "in_proj": 3,     # [L, Gio, d, 2di] -> shard the 2di axis
+            "out_proj": 2,    # [L, Gio, di, d] -> shard di (contracted; psum)
+            "conv_w": 2, "conv_b": 2,
+            "x_proj": 2,      # [L, G, di, R+2N]
+            "dt_proj_w": 3,   # [L, G, R, di]
+            "dt_proj_b": 2, "A_log": 2, "D": 2,
+        }
+        leaf = path.split("/")[-1]
+        axes: list = [None] * len(shape)
+        if leaf in tp_axes and len(shape) > tp_axes[leaf]:
+            axes[tp_axes[leaf]] = "tensor"
+        # FSDP: shard the largest remaining axis.
+        free = [i for i, a in enumerate(axes) if a is None and shape[i] > 1]
+        if free:
+            biggest = max(free, key=lambda i: shape[i])
+            axes[biggest] = "fsdp"
+        return P(*axes)
+
+    return rule
+
+
+def shard_params(params, mesh: Mesh, replicated: bool = True):
+    """Place a parameter pytree onto the mesh per :func:`param_specs`."""
+    rule = param_specs(replicated)
+
+    def place(path, leaf):
+        keys = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        spec = rule(keys, leaf.shape)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place host arrays onto the mesh, sharded along the batch axis."""
+    sharding = NamedSharding(mesh, batch_spec())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+
+def process_shard(n_items: int) -> slice:
+    """This host's stride-contiguous shard of a global item range — the
+    multi-host input partitioner (replaces MosaicML streaming's
+    num_canonical_nodes partitioning for our record-level workloads)."""
+    k, n = jax.process_index(), jax.process_count()
+    per = -(-n_items // n)
+    return slice(k * per, min((k + 1) * per, n_items))

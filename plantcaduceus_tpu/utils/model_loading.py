@@ -1,0 +1,50 @@
+"""Model + tokenizer resolution shared by every CLI.
+
+Accepts either an HF checkpoint directory (imported via compat.hf_import —
+the analogue of the reference's AutoModelForMaskedLM.from_pretrained at
+src/zero_shot_score.py:90-98) or a preset spec ``<preset>[:random]`` that
+builds a randomly initialised model of the published size (smoke tests and
+benchmarks on hardware without the released weights).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
+from plantcaduceus_tpu.models import caduceus
+from plantcaduceus_tpu.models.config import PRESETS, CaduceusConfig
+
+log = logging.getLogger(__name__)
+
+
+def load_model_and_tokenizer(spec: str, seed: int = 0) -> Tuple[dict, CaduceusConfig, DnaTokenizer]:
+    """Resolve ``spec`` to (params, config, tokenizer)."""
+    path = Path(spec)
+    if path.is_dir():
+        from plantcaduceus_tpu.compat.hf_import import import_params
+
+        log.info("Importing HF checkpoint from %s", path)
+        params, cfg = import_params(path)
+        try:
+            tokenizer = DnaTokenizer.from_hf_dir(path)
+        except FileNotFoundError:
+            log.warning("No tokenizer files in %s; using default DNA vocab", path)
+            tokenizer = DnaTokenizer()
+        return params, cfg, tokenizer
+
+    name = spec.split(":")[0]
+    if name not in PRESETS:
+        raise FileNotFoundError(
+            f"model spec {spec!r} is neither a checkpoint dir nor a preset "
+            f"({sorted(PRESETS)})"
+        )
+    log.info("Building randomly initialised preset %s", name)
+    cfg = CaduceusConfig.preset(name)
+    params = caduceus.init_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.float32)
+    return params, cfg, DnaTokenizer()

@@ -1,0 +1,51 @@
+"""Tokenizer goldens: id layout, case folding, complement map, RC helper."""
+
+import numpy as np
+
+from plantcaduceus_tpu.io.tokenizer import DnaTokenizer, reverse_complement
+
+
+def test_vocab_layout():
+    tok = DnaTokenizer()
+    v = tok.get_vocab()
+    assert v["[CLS]"] == 0 and v["[SEP]"] == 1 and v["[BOS]"] == 2
+    assert v["[MASK]"] == 3 and v["[PAD]"] == 4
+    assert v["[RESERVED]"] == 5 and v["[UNK]"] == 6
+    assert (v["a"], v["c"], v["g"], v["t"], v["n"]) == (7, 8, 9, 10, 11)
+    assert tok.mask_token_id == 3 and tok.pad_token_id == 4
+
+
+def test_encode_case_insensitive():
+    tok = DnaTokenizer()
+    np.testing.assert_array_equal(tok.encode("ACGTN"), tok.encode("acgtn"))
+    np.testing.assert_array_equal(tok.encode("ACGT"), [7, 8, 9, 10])
+    assert len(tok.encode("A" * 512)) == 512  # no special tokens added
+    assert tok.encode("X")[0] == tok.unk_token_id
+
+
+def test_encode_batch():
+    tok = DnaTokenizer()
+    ids = tok.encode_batch(["ACGT", "TTTT"])
+    assert ids.shape == (2, 4)
+    np.testing.assert_array_equal(ids[1], [10] * 4)
+
+
+def test_complement_map():
+    tok = DnaTokenizer()
+    cmap = tok.complement_map_ids()
+    v = tok.get_vocab()
+    assert cmap[v["a"]] == v["t"] and cmap[v["t"]] == v["a"]
+    assert cmap[v["c"]] == v["g"] and cmap[v["g"]] == v["c"]
+    assert cmap[v["n"]] == v["n"] and cmap[v["[MASK]"]] == v["[MASK]"]
+
+
+def test_reverse_complement():
+    assert reverse_complement("ACGTN") == "NACGT"
+    assert reverse_complement(reverse_complement("GATTACA")) == "GATTACA"
+
+
+def test_save_roundtrip(tmp_path):
+    tok = DnaTokenizer()
+    tok.save(tmp_path)
+    tok2 = DnaTokenizer.from_hf_dir(tmp_path)
+    assert tok2.get_vocab() == tok.get_vocab()
