@@ -11,4 +11,19 @@ than ported from the reference's CUDA/torch stack.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: full-model compiles go through a slow
+# remote-compile tunnel in this environment (~4 min for l20 at batch 128);
+# the cache makes every subsequent process start in seconds. Opt out with
+# PCAD_NO_COMPILE_CACHE=1.
+if not _os.environ.get("PCAD_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "PCAD_COMPILE_CACHE_DIR",
+        _os.path.expanduser("~/.cache/plantcaduceus_tpu/xla"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from plantcaduceus_tpu.models.config import CaduceusConfig  # noqa: F401

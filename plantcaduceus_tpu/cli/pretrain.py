@@ -1,0 +1,162 @@
+"""CLI: masked-LM pre-training (the reference's src/HF_pre_train.py).
+
+Usage (smoke run):
+    python -m plantcaduceus_tpu.cli.pretrain --dataset synthetic \
+        --preset l20 --max-steps 20 --batch-size 8 --output-dir /tmp/run
+
+Reproduces the reference recipe surface: 15% dynamic masking, soft-masked
+(lowercase) loss down-weighting (0.1 train / 0.0 eval), AdamW
+constant-with-warmup lr 2e-4 / 1k warmup, checkpoints every N steps with
+autoresume, eval + perplexity (README pre-train command; HF_pre_train.py
+defaults). Multi-host: one flag-free mechanism — jax.distributed init +
+record striding + mesh collectives.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
+from plantcaduceus_tpu.models import caduceus
+from plantcaduceus_tpu.models.config import CaduceusConfig, PRESETS
+from plantcaduceus_tpu.parallel import mesh as meshlib
+from plantcaduceus_tpu.train import checkpoint as ckpt_lib
+from plantcaduceus_tpu.train import data as data_lib
+from plantcaduceus_tpu.train import loop as loop_lib
+from plantcaduceus_tpu.train import step as step_lib
+from plantcaduceus_tpu.train.optimizer import make_optimizer
+from plantcaduceus_tpu.utils.platform import maybe_force_platform
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True,
+                   help="synthetic | file.tsv/.parquet | genome.fa | hf:<name>")
+    p.add_argument("--eval-dataset", default=None)
+    p.add_argument("--seq-column", default="seq")
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS))
+    p.add_argument("--config", default=None, help="CaduceusConfig json path")
+    p.add_argument("--resume-from", default=None,
+                   help="checkpoint dir (defaults to --output-dir autoresume)")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--window", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="per-host batch (reference: 32/device)")
+    p.add_argument("--max-steps", type=int, default=120000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--schedule", default="constant_with_warmup")
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--mlm-probability", type=float, default=0.15)
+    p.add_argument("--soft-masked-weight-train", type=float, default=0.1)
+    p.add_argument("--soft-masked-weight-eval", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=32)
+    p.add_argument("--save-steps", type=int, default=1000)
+    p.add_argument("--save-total-limit", type=int, default=20)
+    p.add_argument("--eval-steps", type=int, default=1000)
+    p.add_argument("--log-steps", type=int, default=50)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
+    p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
+    p.add_argument("--wandb-project", default=None)
+    p.add_argument("--wandb-run-name", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(force=True, level=logging.INFO,
+                        format="%(asctime)s - %(levelname)s - %(message)s",
+                        datefmt="%Y-%m-%d %H:%M:%S")
+    args = parse_args(argv)
+    maybe_force_platform()
+    meshlib.initialize_distributed()
+
+    if args.config:
+        cfg = CaduceusConfig.load(args.config)
+    elif args.preset:
+        cfg = CaduceusConfig.preset(args.preset)
+    else:
+        sys.exit("one of --preset / --config is required")
+
+    tokenizer = DnaTokenizer()
+    params = caduceus.init_params(jax.random.PRNGKey(args.seed), cfg)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(fsdp=args.fsdp,
+                                                tensor=args.tensor))
+    logging.info("mesh: %s", dict(mesh.shape))
+
+    optimizer = make_optimizer(
+        learning_rate=args.lr, schedule=args.schedule,
+        warmup_steps=args.warmup_steps, total_steps=args.max_steps,
+        weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        params=params)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    init_state, train_step, eval_step = step_lib.make_train_step(
+        cfg, optimizer, mesh, params, dtype=dtype, remat=not args.no_remat)
+    state = init_state(params)
+
+    ckpt = ckpt_lib.CheckpointManager(args.output_dir,
+                                      save_interval_steps=args.save_steps,
+                                      max_to_keep=args.save_total_limit)
+    ckpt_lib.save_config(args.output_dir, cfg)
+    resume_dir = args.resume_from or args.output_dir
+    try:
+        resume = ckpt_lib.CheckpointManager(resume_dir) \
+            if resume_dir != args.output_dir else ckpt
+        if resume.latest_step() is not None:
+            state = resume.restore(state)
+            logging.info("Resumed from step %d", int(state.step))
+    except FileNotFoundError:
+        pass
+
+    seqs = data_lib.sequence_source(args.dataset, seq_column=args.seq_column,
+                                    window=args.window, seed=args.seed)
+    train_data = data_lib.PretrainDataset(
+        seqs, tokenizer, args.batch_size,
+        soft_masked_weight=args.soft_masked_weight_train,
+        mlm_probability=args.mlm_probability, seed=args.seed,
+        process_index=jax.process_index(), process_count=jax.process_count())
+    if args.eval_dataset:
+        eval_seqs = data_lib.sequence_source(
+            args.eval_dataset, split="validation", seq_column=args.seq_column,
+            window=args.window, seed=args.seed + 1)
+    else:
+        eval_seqs = seqs[: max(args.batch_size, len(seqs) // 20)]
+    eval_data = data_lib.PretrainDataset(
+        eval_seqs, tokenizer, args.batch_size,
+        soft_masked_weight=args.soft_masked_weight_eval,
+        mlm_probability=args.mlm_probability, seed=args.seed + 2,
+        process_index=jax.process_index(), process_count=jax.process_count())
+
+    wandb_run = None
+    if args.wandb_project:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.wandb_project,
+                                   name=args.wandb_run_name, resume="allow")
+        except Exception as e:  # offline env: log and continue
+            logging.warning("wandb unavailable: %s", e)
+
+    tokens_per_step = args.batch_size * args.window * jax.process_count()
+    state = loop_lib.run_training(
+        state, train_step, eval_step, iter(train_data),
+        eval_data.eval_batches, args.max_steps,
+        log_every=args.log_steps, eval_every=args.eval_steps,
+        ckpt=ckpt, wandb_run=wandb_run, tokens_per_step=tokens_per_step)
+
+    # Final standalone export for the inference CLIs.
+    params_host = jax.device_get(state.params)
+    if jax.process_index() == 0:
+        ckpt_lib.export_params(f"{args.output_dir}/final", params_host, cfg)
+        logging.info("Exported final params to %s/final", args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     logging.basicConfig(
+        force=True,
         level=logging.INFO,
         format="%(asctime)s - %(levelname)s - %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S",

@@ -146,7 +146,12 @@ def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
             or in_w[1] is None
             or np.array_equal(in_w[0], in_w[1])
         )
-        in_proj = np.stack([w.T for w in in_w[: (1 if tied else G)]])
+        # torch in_proj.weight is [2*di, d] with rows [:di]=x, [di:]=z
+        # (mamba_ssm xz.chunk(2, dim=1)); stored split and transposed.
+        in_kept = [w.T for w in in_w[: (1 if tied else G)]]  # [d, 2di]
+        di = in_kept[0].shape[1] // 2
+        in_proj_x = np.stack([w[:, :di] for w in in_kept])
+        in_proj_z = np.stack([w[:, di:] for w in in_kept])
 
         out_w = [r.maybe(base, dir_name(g), "out_proj.weight") for g in range(G)]
         if out_w[0] is None:
@@ -162,13 +167,20 @@ def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
                 vals.append(transform(v))
             return np.stack(vals)
 
+        # torch x_proj.weight is [R+2N, di] with rows dt / B / C.
+        R = cfg.dt_rank
+        N = cfg.d_state
+        x_proj = per_dir("x_proj.weight", transform=lambda w: w.T)  # [G, di, R+2N]
         return {
             "norm_weight": r.get(base, "norm", "weight"),
-            "in_proj": in_proj,
+            "in_proj_x": in_proj_x,
+            "in_proj_z": in_proj_z,
             "out_proj": out_proj,
             "conv_w": per_dir("conv1d.weight", transform=lambda w: w[:, 0, :]),
             "conv_b": per_dir("conv1d.bias"),
-            "x_proj": per_dir("x_proj.weight", transform=lambda w: w.T),
+            "x_proj_dt": x_proj[..., :R],
+            "x_proj_B": x_proj[..., R : R + N],
+            "x_proj_C": x_proj[..., R + N :],
             "dt_proj_w": per_dir("dt_proj.weight", transform=lambda w: w.T),
             "dt_proj_b": per_dir("dt_proj.bias"),
             "A_log": per_dir("A_log"),

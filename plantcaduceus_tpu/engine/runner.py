@@ -39,15 +39,34 @@ class InferenceRunner:
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self.params = meshlib.shard_params(params, self.mesh, replicated=True)
         self._batch_sharding = NamedSharding(self.mesh, meshlib.batch_spec())
+        if batch_size % (self.mesh.shape["data"] * self.mesh.shape["fsdp"]):
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the "
+                f"{self.mesh.shape['data'] * self.mesh.shape['fsdp']}-way batch axes"
+            )
 
-        @functools.partial(jax.jit, static_argnames=("want_hidden",))
-        def _fwd(params, ids, want_hidden=False):
+        pspecs = meshlib.param_pspec_tree(params, replicated=True)
+        bspec = meshlib.batch_spec()
+
+        def local_fwd(params, ids, want_hidden):
+            # Per-device forward (batch rows local). shard_map rather than
+            # GSPMD because the Pallas scan has no SPMD partitioning rule.
             out = caduceus.forward(params, ids, cfg, dtype=dtype,
                                    output_hidden_states=want_hidden)
             res = {"logits": out["logits"].astype(jnp.float32)}
             if want_hidden:
                 res["hidden_states"] = out["hidden_states"].astype(jnp.float32)
             return res
+
+        @functools.partial(jax.jit, static_argnames=("want_hidden",))
+        def _fwd(params, ids, want_hidden=False):
+            return jax.shard_map(
+                functools.partial(local_fwd, want_hidden=want_hidden),
+                mesh=self.mesh,
+                in_specs=(pspecs, bspec),
+                out_specs=P(("data", "fsdp")),
+                check_vma=False,
+            )(params, ids)
 
         self._fwd = _fwd
 

@@ -39,6 +39,7 @@ Behavioural contract reproduced (reference usage):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -89,15 +90,23 @@ def init_params(rng: jax.Array, cfg: CaduceusConfig, dtype=jnp.float32) -> Param
     # rescale_prenorm_residual (mamba _init_weights): out_proj /= sqrt(2*n_layer)
     out_proj = out_proj / math.sqrt(2 * L_)
 
+    # Packed projections are stored split (in_proj -> x/z halves; x_proj ->
+    # dt/B/C) so tensor parallelism can shard every d_inner axis cleanly —
+    # the torch-packed layouts interleave differently-sharded quantities.
+    in_proj = _linear_init(keys[3], d, (L_, Gio, d, 2 * di))
+    x_proj = _linear_init(keys[6], di, (L_, G, di, R + 2 * N))
     params: Params = {
         "embedding": (0.02 * jax.random.normal(keys[2], (cfg.vocab_size, d))).astype(dtype),
         "blocks": {
             "norm_weight": jnp.ones((L_, d), dtype),
-            "in_proj": _linear_init(keys[3], d, (L_, Gio, d, 2 * di)).astype(dtype),
+            "in_proj_x": in_proj[..., :di].astype(dtype),
+            "in_proj_z": in_proj[..., di:].astype(dtype),
             "out_proj": out_proj.astype(dtype),
             "conv_w": _linear_init(keys[4], K, (L_, G, di, K)).astype(dtype),
             "conv_b": _linear_init(keys[5], K, (L_, G, di)).astype(dtype),
-            "x_proj": _linear_init(keys[6], di, (L_, G, di, R + 2 * N)).astype(dtype),
+            "x_proj_dt": x_proj[..., :R].astype(dtype),
+            "x_proj_B": x_proj[..., R : R + N].astype(dtype),
+            "x_proj_C": x_proj[..., R + N :].astype(dtype),
             "dt_proj_w": (
                 jax.random.uniform(keys[7], (L_, G, R, di), jnp.float32,
                                    -(R ** -0.5), R ** -0.5)
@@ -132,23 +141,103 @@ def _norm(x, w, cfg):
     return layer_norm(x, w, None, cfg.norm_epsilon)
 
 
-def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig) -> jax.Array:
-    """One (Bi)Mamba mixer over ``x: [B, L, d]`` (B may include folded
-    streams). ``p`` holds a single layer's parameters (no n_layer axis)."""
-    G = cfg.n_directions
-    di, N, R = cfg.d_inner, cfg.d_state, cfg.dt_rank
-    Bsz, L, d = x.shape
-    cdtype = x.dtype
+# Manual-collective autodiff, pinned down explicitly so correctness does not
+# depend on shard_map's vma mode (with check_vma=False, jax transposes psum
+# as psum, which would scale gradients by the axis size):
+#   * _psum_id_bwd — forward psum, backward identity: the cotangent of a
+#     reduced partial is the (replicated) downstream cotangent.
+#   * _tp_boundary — forward identity, backward psum: applied where
+#     replicated activations enter tensor-sharded matmuls, reducing the
+#     per-shard partial cotangents exactly once per layer so gradients of
+#     replicated parameters are complete locally.
 
-    # in_proj: [Gio, d, 2di]. Tied (Gio=1) is the released-model fast path.
-    xz = jnp.einsum("bld,gdk->gblk", x, p["in_proj"].astype(cdtype))  # [Gio,B,L,2di]
-    xi, z = jnp.split(xz, 2, axis=-1)  # each [Gio, B, L, di]
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_id_bwd(x, axis):
+    return jax.lax.psum(x, axis)
+
+
+def _psum_id_bwd_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _psum_id_bwd_bwd(axis, _, g):
+    return (g,)
+
+
+_psum_id_bwd.defvjp(_psum_id_bwd_fwd, _psum_id_bwd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_psum_bwd(x, axis):
+    return jax.lax.psum(x, axis)
+
+
+def _psum_psum_bwd_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _psum_psum_bwd_bwd(axis, _, g):
+    return (jax.lax.psum(g, axis),)
+
+
+_psum_psum_bwd.defvjp(_psum_psum_bwd_fwd, _psum_psum_bwd_bwd)
+
+
+def _maybe_psum(x, axis):
+    """For reductions whose output feeds *replicated* computation (out_proj
+    into the residual stream): downstream cotangent is complete, backward is
+    identity."""
+    return x if axis is None else _psum_id_bwd(x, axis)
+
+
+def _maybe_psum_sharded_consumer(x, axis):
+    """For reductions whose output feeds *sharded* computation (dt/B/C into
+    the d_inner-sharded scan): each shard's backward yields only its partial
+    cotangent, so the backward must psum them."""
+    return x if axis is None else _psum_psum_bwd(x, axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tp_boundary(x, axis):
+    return x
+
+
+def _tp_boundary_fwd(x, axis):
+    return x, None
+
+
+def _tp_boundary_bwd(axis, _, g):
+    return (jax.lax.psum(g, axis),)
+
+
+_tp_boundary.defvjp(_tp_boundary_fwd, _tp_boundary_bwd)
+
+
+def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
+                tp_axis: Optional[str] = None) -> jax.Array:
+    """One (Bi)Mamba mixer over ``x: [B, L, d]`` (B may include folded
+    streams). ``p`` holds a single layer's parameters (no n_layer axis).
+
+    Tensor parallelism: when ``tp_axis`` names a shard_map mesh axis, ``p``
+    holds d_inner-sharded parameters; the contractions over d_inner
+    (x_proj_dt/B/C and out_proj) psum partial results over that axis. All
+    other mixer ops are elementwise in d_inner and stay local.
+    """
+    G = cfg.n_directions
+    N, R = cfg.d_state, cfg.dt_rank
+    cdtype = x.dtype
+    if tp_axis is not None:
+        x = _tp_boundary(x, tp_axis)
+
+    # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
+    xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
+    z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
 
     # Fold direction into the group axis: direction 1 sees time-reversed input.
     if G == 2:
         if xi.shape[0] == 1:
-            xf = xi[0]
-            xg = jnp.stack([xf, jnp.flip(xf, axis=1)])  # [2, B, L, di]
+            xg = jnp.concatenate([xi, jnp.flip(xi, axis=2)])  # [2, B, L, di]
         else:
             xg = jnp.stack([xi[0], jnp.flip(xi[1], axis=1)])
     else:
@@ -158,11 +247,13 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig) -> jax.Array:
     xg = causal_conv1d(xg, p["conv_w"].astype(cdtype), p["conv_b"].astype(cdtype),
                        activation="silu")
 
-    # x_proj -> (dt_low_rank, B, C); dt_proj up to d_inner.
-    dbc = jnp.einsum("gbli,gip->gblp", xg, p["x_proj"].astype(cdtype))
-    dt_lr = dbc[..., :R]
-    Bm = dbc[..., R : R + N]
-    Cm = dbc[..., R + N :]
+    # x_proj -> dt low-rank, B, C (contractions over d_inner: psum under TP).
+    dt_lr = _maybe_psum_sharded_consumer(
+        jnp.einsum("gbli,gir->gblr", xg, p["x_proj_dt"].astype(cdtype)), tp_axis)
+    Bm = _maybe_psum_sharded_consumer(
+        jnp.einsum("gbli,gin->gbln", xg, p["x_proj_B"].astype(cdtype)), tp_axis)
+    Cm = _maybe_psum_sharded_consumer(
+        jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype)), tp_axis)
     dt = jnp.einsum("gblr,gri->gbli", dt_lr, p["dt_proj_w"].astype(cdtype))
 
     y = selective_scan(
@@ -172,10 +263,10 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig) -> jax.Array:
 
     gate = jax.nn.silu(z)  # [Gio, B, L, di]
 
-    if G == 2 and xz.shape[0] == 1 and cfg.bidirectional_strategy == "add":
+    if G == 2 and xi.shape[0] == 1 and cfg.bidirectional_strategy == "add":
         # Tied+add fast path: align rev output, share the gate, single out_proj.
         y_sum = (y[0] + jnp.flip(y[1], axis=1)) * gate[0]
-        return y_sum @ p["out_proj"][0].astype(cdtype)
+        return _maybe_psum(y_sum @ p["out_proj"][0].astype(cdtype), tp_axis)
 
     # General path: per-direction gate + out_proj, then combine.
     outs = []
@@ -184,7 +275,7 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig) -> jax.Array:
         zg = gate[min(g, gate.shape[0] - 1)]
         og = yg * zg
         W = p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype)
-        outs.append(og @ W)
+        outs.append(_maybe_psum(og @ W, tp_axis))
     if G == 1:
         return outs[0]
     if cfg.bidirectional_strategy == "add":
@@ -193,7 +284,8 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig) -> jax.Array:
 
 
 def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
-             dtype=jnp.bfloat16) -> jax.Array:
+             dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
+             remat: bool = False) -> jax.Array:
     """Run embedding + n_layer blocks + final norm.
 
     Returns the *working-frame* hidden states ``[S*B, L, d]`` where S=2 when
@@ -212,9 +304,14 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
 
     def block_fn(res, lp):
         normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
-        out = mamba_mixer(lp, normed, cfg)
+        out = mamba_mixer(lp, normed, cfg, tp_axis=tp_axis)
         return res + out.astype(res.dtype), None
 
+    if remat:
+        # Rematerialise each block in the backward pass: activation memory
+        # drops from O(n_layer * L * d) to O(L * d) at ~33% extra FLOPs —
+        # the standard TPU HBM trade (jax.checkpoint composes with lax.scan).
+        block_fn = jax.checkpoint(block_fn)
     residual, _ = jax.lax.scan(block_fn, residual, params["blocks"])
     return _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
 
@@ -257,10 +354,13 @@ def forward(
     cfg: CaduceusConfig,
     dtype=jnp.bfloat16,
     output_hidden_states: bool = False,
+    tp_axis: Optional[str] = None,
+    remat: bool = False,
 ) -> Dict[str, jax.Array]:
     """Full masked-LM forward. Returns dict with ``logits`` and optionally
     ``hidden_states`` (final layer only — the entry the reference reads)."""
-    h_work = backbone(params, input_ids, cfg, dtype=dtype)
+    h_work = backbone(params, input_ids, cfg, dtype=dtype, tp_axis=tp_axis,
+                      remat=remat)
     out = {"logits": lm_logits(params, h_work, cfg)}
     if output_hidden_states:
         out["hidden_states"] = readout_hidden(h_work, cfg)

@@ -57,8 +57,9 @@ class CaduceusConfig:
     # Token ids (defaults follow the CharacterTokenizer layout, SURVEY.md §2.5/B19):
     pad_token_id: int = 4
     mask_token_id: int = 3
-    # Kernel selection for the selective scan: associative | sequential | pallas
-    scan_impl: str = "associative"
+    # Kernel selection for the selective scan:
+    # auto (pallas on TPU, associative elsewhere) | associative | sequential | pallas
+    scan_impl: str = "auto"
 
     def __post_init__(self):
         if self.dt_rank is None:

@@ -146,9 +146,16 @@ def selective_scan(
     Dskip: jax.Array,
     dt_bias: Optional[jax.Array] = None,
     dt_softplus: bool = True,
-    impl: str = "associative",
+    impl: str = "auto",
 ) -> jax.Array:
-    """Dispatching entry point. ``impl``: sequential | associative | pallas."""
+    """Dispatching entry point.
+
+    ``impl``: auto | sequential | associative | pallas. ``auto`` picks the
+    Pallas kernel on TPU (VMEM-resident state; the associative fallback's
+    HBM state tensors OOM real batch sizes) and the associative scan
+    elsewhere (CPU tests, interpret-free)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "associative"
     if impl == "pallas":
         from plantcaduceus_tpu.ops.pallas_scan import selective_scan_pallas
 

@@ -84,10 +84,12 @@ def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
             return P()
         # Tensor parallel: shard the d_inner axis of mixer weights.
         tp_axes = {
-            "in_proj": 3,     # [L, Gio, d, 2di] -> shard the 2di axis
+            "in_proj_x": 3,   # [L, Gio, d, di]
+            "in_proj_z": 3,
             "out_proj": 2,    # [L, Gio, di, d] -> shard di (contracted; psum)
             "conv_w": 2, "conv_b": 2,
-            "x_proj": 2,      # [L, G, di, R+2N]
+            "x_proj_dt": 2,   # [L, G, di, R]
+            "x_proj_B": 2, "x_proj_C": 2,
             "dt_proj_w": 3,   # [L, G, R, di]
             "dt_proj_b": 2, "A_log": 2, "D": 2,
         }
@@ -105,13 +107,24 @@ def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
     return rule
 
 
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def param_pspec_tree(params, replicated: bool = True):
+    """PartitionSpec pytree matching ``params`` (for shard_map in_specs)."""
+    rule = param_specs(replicated)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: rule(_path_str(path), leaf.shape), params
+    )
+
+
 def shard_params(params, mesh: Mesh, replicated: bool = True):
     """Place a parameter pytree onto the mesh per :func:`param_specs`."""
     rule = param_specs(replicated)
 
     def place(path, leaf):
-        keys = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
-        spec = rule(keys, leaf.shape)
+        spec = rule(_path_str(path), leaf.shape)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

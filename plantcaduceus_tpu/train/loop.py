@@ -1,0 +1,117 @@
+"""Training loop driver with monitoring, eval, and checkpoint/resume.
+
+Framework equivalent of the reference's two trainer stacks (HF Trainer in
+src/HF_pre_train.py, Composer in pretrain/scripts/train_mosaic_bert.py):
+steps-based loop, periodic eval + perplexity, periodic checkpoints with
+autoresume, and a SpeedMonitor-style throughput/step-time tracker
+(SURVEY.md §5.1) with optional wandb logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plantcaduceus_tpu.train.checkpoint import CheckpointManager
+from plantcaduceus_tpu.train.step import TrainState
+
+log = logging.getLogger(__name__)
+
+
+class SpeedMonitor:
+    """Rolling window step-time / throughput tracker."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.times: list = []
+
+    def tick(self) -> None:
+        self.times.append(time.time())
+        if len(self.times) > self.window + 1:
+            self.times.pop(0)
+
+    def stats(self, tokens_per_step: int) -> dict:
+        if len(self.times) < 2:
+            return {}
+        dt = (self.times[-1] - self.times[0]) / (len(self.times) - 1)
+        return {"step_time_s": dt, "tokens_per_sec": tokens_per_step / dt}
+
+
+def run_training(
+    state: TrainState,
+    train_step: Callable,
+    eval_step: Callable,
+    train_iter: Iterator[dict],
+    eval_batches: Callable[[], Iterable[dict]],
+    max_steps: int,
+    log_every: int = 50,
+    eval_every: int = 1000,
+    eval_max_batches: int = 20,
+    ckpt: Optional[CheckpointManager] = None,
+    wandb_run=None,
+    tokens_per_step: int = 0,
+) -> TrainState:
+    """Run to max_steps (resuming from state.step). Returns final state."""
+    start_step = int(state.step)
+    monitor = SpeedMonitor()
+    host0 = jax.process_index() == 0
+
+    for step in range(start_step, max_steps):
+        batch = next(train_iter)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = train_step(state, batch)
+        monitor.tick()
+
+        if host0 and (step + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(monitor.stats(tokens_per_step))
+            log.info("step %d/%d loss=%.4f acc=%.4f %s", step + 1, max_steps,
+                     m["loss"], m["accuracy"],
+                     " ".join(f"{k}={v:.3g}" for k, v in m.items()
+                              if k not in ("loss", "accuracy")))
+            if wandb_run is not None:
+                wandb_run.log({"train/" + k: v for k, v in m.items()},
+                              step=step + 1)
+
+        if eval_every and (step + 1) % eval_every == 0:
+            ev = evaluate(state, eval_step, eval_batches(), eval_max_batches)
+            if host0:
+                log.info("eval @ %d: loss=%.4f ppl=%.2f acc=%.4f", step + 1,
+                         ev["loss"], ev["perplexity"], ev["accuracy"])
+                if wandb_run is not None:
+                    wandb_run.log({"eval/" + k: v for k, v in ev.items()},
+                                  step=step + 1)
+
+        if ckpt is not None:
+            ckpt.save(step + 1, state)
+
+    if ckpt is not None:
+        if ckpt.latest_step() != max_steps:
+            ckpt.save(max_steps, state, force=True)
+        ckpt.wait()
+    return state
+
+
+def evaluate(state: TrainState, eval_step: Callable,
+             batches: Iterable[dict], max_batches: Optional[int] = None) -> dict:
+    losses, accs = [], []
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        m = eval_step(state, batch)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["accuracy"]))
+    loss = float(np.mean(losses)) if losses else float("nan")
+    try:
+        ppl = math.exp(loss)
+    except OverflowError:
+        ppl = float("inf")
+    return {"loss": loss, "perplexity": ppl,
+            "accuracy": float(np.mean(accs)) if accs else float("nan")}

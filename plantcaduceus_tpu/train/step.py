@@ -1,0 +1,177 @@
+"""Sharded training step: dp + fsdp + tp over one device mesh.
+
+Replaces the reference's three DDP wrappers (composer.dist / HF Trainer /
+Lightning — SURVEY.md §2.7) and its dormant fsdp_config hook
+(pretrain/scripts/train_mosaic_bert.py:262) with a single mechanism:
+
+* the gradient computation runs under ``shard_map`` with explicit collectives
+  (Pallas kernels have no GSPMD partitioning rule, so SPMD must be manual on
+  the hot path),
+* batch shards over ('data','fsdp'); parameters/optimizer state shard over
+  'fsdp' (ZeRO-style: all_gather before use, psum_scatter of gradients) and
+  over 'tensor' on d_inner axes (mixer psums; see models.caduceus),
+* the optimizer update runs under plain jit — elementwise, GSPMD handles it.
+
+Loss is globally normalised: local (weighted-NLL sum, weight sum) pairs are
+psummed over the batch axes before dividing, so uneven mask counts per shard
+don't bias gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plantcaduceus_tpu.models import caduceus
+from plantcaduceus_tpu.models.config import CaduceusConfig
+from plantcaduceus_tpu.parallel import mesh as meshlib
+
+BATCH_AXES = ("data", "fsdp")
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def _loss_sums(logits, labels, loss_weights, ignore_index=-100):
+    """(weighted NLL sum, weight sum) — local shard contribution."""
+    valid = labels != ignore_index
+    labels_safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    w = valid.astype(jnp.float32)
+    if loss_weights is not None:
+        w = w * loss_weights.astype(jnp.float32)
+    return jnp.sum(nll * w), jnp.sum(w)
+
+
+def _gather_fsdp(params, specs):
+    def g(p, spec):
+        for i, ax in enumerate(spec):
+            if ax == "fsdp":
+                return jax.lax.all_gather(p, "fsdp", axis=i, tiled=True)
+        return p
+    return jax.tree.map(g, params, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def _sync_grads(grads, specs):
+    """Sum over batch axes; reduce-scatter back onto fsdp shards."""
+    def s(g, spec):
+        fsdp_axis = next((i for i, ax in enumerate(spec) if ax == "fsdp"), None)
+        if fsdp_axis is None:
+            return jax.lax.psum(g, BATCH_AXES)
+        g = jax.lax.psum(g, "data")
+        return jax.lax.psum_scatter(g, "fsdp", scatter_dimension=fsdp_axis,
+                                    tiled=True)
+    return jax.tree.map(s, grads, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
+                 dtype=jnp.bfloat16, remat: bool = True):
+    """shard_map'd (params, batch) -> (loss, accuracy, grads)."""
+    tp = mesh.shape.get("tensor", 1) > 1
+    tp_axis = "tensor" if tp else None
+
+    def local_grads(params, batch):
+        # Global normaliser: parameter-independent (labels/weights only), so
+        # its psum stays OUTSIDE the differentiated graph — differentiating
+        # through psum under check_vma=False would scale grads by axis size.
+        valid = batch["labels"] != -100
+        w_local = valid.astype(jnp.float32)
+        if "loss_weights" in batch:
+            w_local = w_local * batch["loss_weights"].astype(jnp.float32)
+        W = jnp.maximum(jax.lax.psum(jnp.sum(w_local), BATCH_AXES), 1e-8)
+
+        def loss_fn(params_full):
+            out = caduceus.forward(
+                params_full, batch["input_ids"], cfg, dtype=dtype,
+                tp_axis=tp_axis, remat=remat,
+            )
+            nll, _ = _loss_sums(out["logits"], batch["labels"],
+                                batch.get("loss_weights"))
+            # Local share of the globally-normalised loss; grads psum in
+            # _sync_grads reassembles the full gradient.
+            return nll / W, out["logits"]
+
+        params_full = _gather_fsdp(params, param_specs)
+        (local_obj, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params_full)
+        grads = _sync_grads(grads, param_specs)
+        loss = jax.lax.psum(local_obj, BATCH_AXES)
+
+        # masked-token accuracy (metric parity: MaskedAccuracy ignore -100)
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((pred == batch["labels"]) & valid)
+        acc = jax.lax.psum(correct, BATCH_AXES) / jnp.maximum(
+            jax.lax.psum(jnp.sum(valid), BATCH_AXES), 1)
+        return loss, acc, grads
+
+    batch_spec = {
+        "input_ids": P(BATCH_AXES),
+        "labels": P(BATCH_AXES),
+        "loss_weights": P(BATCH_AXES),
+    }
+
+    def grad_fn(params, batch):
+        bspec = {k: batch_spec[k] for k in batch}
+        return jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(param_specs, bspec),
+            out_specs=(P(), P(), param_specs),
+            check_vma=False,
+        )(params, batch)
+
+    return grad_fn
+
+
+def make_train_step(
+    cfg: CaduceusConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    params_template,
+    dtype=jnp.bfloat16,
+    remat: bool = True,
+    fsdp: Optional[bool] = None,
+):
+    """Build (init_state, train_step, eval_step).
+
+    ``fsdp=None`` auto-enables parameter sharding when the mesh has a
+    non-trivial fsdp axis.
+    """
+    if fsdp is None:
+        fsdp = mesh.shape.get("fsdp", 1) > 1
+    pspecs = meshlib.param_pspec_tree(params_template,
+                                      replicated=not (fsdp or
+                                                      mesh.shape.get("tensor", 1) > 1))
+    grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat)
+
+    def init_state(params) -> TrainState:
+        params = jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+            params, pspecs, is_leaf=lambda x: isinstance(x, P))
+        opt_state = jax.jit(optimizer.init)(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        loss, acc, grads = grad_fn(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "accuracy": acc,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict:
+        loss, acc, _ = grad_fn(state.params, batch)
+        return {"loss": loss, "accuracy": acc}
+
+    return init_state, train_step, eval_step

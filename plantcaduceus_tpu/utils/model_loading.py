@@ -24,18 +24,26 @@ log = logging.getLogger(__name__)
 
 
 def load_model_and_tokenizer(spec: str, seed: int = 0) -> Tuple[dict, CaduceusConfig, DnaTokenizer]:
-    """Resolve ``spec`` to (params, config, tokenizer)."""
+    """Resolve ``spec`` to (params, config, tokenizer).
+
+    Accepts: an HF checkpoint dir (torch weights), a framework export dir
+    (train.checkpoint.export_params output), or a preset name."""
     path = Path(spec)
     if path.is_dir():
+        try:
+            tokenizer = DnaTokenizer.from_hf_dir(path)
+        except FileNotFoundError:
+            tokenizer = DnaTokenizer()
+        if (path / "params").is_dir():  # framework export
+            from plantcaduceus_tpu.train.checkpoint import load_params
+
+            log.info("Loading framework checkpoint from %s", path)
+            params, cfg = load_params(path)
+            return params, cfg, tokenizer
         from plantcaduceus_tpu.compat.hf_import import import_params
 
         log.info("Importing HF checkpoint from %s", path)
         params, cfg = import_params(path)
-        try:
-            tokenizer = DnaTokenizer.from_hf_dir(path)
-        except FileNotFoundError:
-            log.warning("No tokenizer files in %s; using default DNA vocab", path)
-            tokenizer = DnaTokenizer()
         return params, cfg, tokenizer
 
     name = spec.split(":")[0]
@@ -48,3 +56,13 @@ def load_model_and_tokenizer(spec: str, seed: int = 0) -> Tuple[dict, CaduceusCo
     cfg = CaduceusConfig.preset(name)
     params = caduceus.init_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.float32)
     return params, cfg, DnaTokenizer()
+
+
+def load_tokenizer_only(spec: str) -> DnaTokenizer:
+    path = Path(spec)
+    if path.is_dir():
+        try:
+            return DnaTokenizer.from_hf_dir(path)
+        except FileNotFoundError:
+            pass
+    return DnaTokenizer()

@@ -61,15 +61,13 @@ def causal_conv_ref(x, w, b):
 def mamba_ref(x, p, g):
     """Single-direction Mamba on x: [L, d]. p: per-layer param dict (numpy,
     same layout as the JAX model), g: direction index."""
-    gio = min(g, p["in_proj"].shape[0] - 1)
-    xz = x @ p["in_proj"][gio]                    # [L, 2*di]
-    di = xz.shape[1] // 2
-    xi, z = xz[:, :di], xz[:, di:]
+    gio = min(g, p["in_proj_x"].shape[0] - 1)
+    xi = x @ p["in_proj_x"][gio]                  # [L, di]
+    z = x @ p["in_proj_z"][gio]
     xi = silu(causal_conv_ref(xi, p["conv_w"][g], p["conv_b"][g]))
-    dbc = xi @ p["x_proj"][g]
-    R = p["dt_proj_w"].shape[1]
-    N = p["A_log"].shape[-1]
-    dt_lr, B, C = dbc[:, :R], dbc[:, R:R + N], dbc[:, R + N:]
+    dt_lr = xi @ p["x_proj_dt"][g]
+    B = xi @ p["x_proj_B"][g]
+    C = xi @ p["x_proj_C"][g]
     dt_raw = dt_lr @ p["dt_proj_w"][g]
     y = selective_scan_ref(xi, dt_raw, -np.exp(p["A_log"][g]), B, C,
                            p["D"][g], p["dt_proj_b"][g])

@@ -1,0 +1,166 @@
+"""Training stack: masking collator, data pipeline, loop, checkpoint, LoRA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
+from plantcaduceus_tpu.models import caduceus, heads
+from plantcaduceus_tpu.models.config import CaduceusConfig
+from plantcaduceus_tpu.parallel import mesh as meshlib
+from plantcaduceus_tpu.train import data as data_lib
+from plantcaduceus_tpu.train import lora as lora_lib
+from plantcaduceus_tpu.train import step as step_lib
+from plantcaduceus_tpu.train.masking import MlmCollator, soft_mask_weights
+from plantcaduceus_tpu.train.optimizer import make_optimizer, make_schedule
+
+TINY = dict(d_model=16, n_layer=2, vocab_size=16, d_state=4, expand=2, d_conv=4)
+
+
+def test_soft_mask_weights():
+    w = soft_mask_weights(["ACgtA", "acgta"], 0.1)
+    np.testing.assert_allclose(w[0], [1, 1, 0.1, 0.1, 1])
+    np.testing.assert_allclose(w[1], [0.1] * 5)
+
+
+def test_collator_statistics():
+    tok = DnaTokenizer()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(7, 11, size=(64, 256)).astype(np.int32)
+    batch = MlmCollator(tok, seed=0)(ids)
+    masked = batch["labels"] != -100
+    frac = masked.mean()
+    assert 0.12 < frac < 0.18, frac
+    # where not masked, input unchanged
+    np.testing.assert_array_equal(batch["input_ids"][~masked], ids[~masked])
+    # ~80% of masked positions are [MASK]
+    mask_frac = (batch["input_ids"][masked] == tok.mask_token_id).mean()
+    assert 0.7 < mask_frac < 0.9
+    # labels hold the original ids at masked positions
+    np.testing.assert_array_equal(batch["labels"][masked], ids[masked])
+
+
+def test_collator_never_masks_specials():
+    tok = DnaTokenizer()
+    ids = np.full((4, 64), tok.pad_token_id, np.int32)
+    batch = MlmCollator(tok, seed=0)(ids)
+    assert (batch["labels"] == -100).all()
+
+
+def test_pretrain_dataset_batches():
+    tok = DnaTokenizer()
+    seqs = data_lib.sequence_source("synthetic", window=64, synthetic_n=32)
+    ds = data_lib.PretrainDataset(seqs, tok, batch_size=8,
+                                  soft_masked_weight=0.1)
+    batch = next(iter(ds))
+    assert batch["input_ids"].shape == (8, 64)
+    assert batch["loss_weights"].shape == (8, 64)
+    assert set(batch) == {"input_ids", "labels", "loss_weights"}
+    # host sharding: two hosts see disjoint records
+    d0 = data_lib.PretrainDataset(seqs, tok, 8, process_index=0, process_count=2)
+    d1 = data_lib.PretrainDataset(seqs, tok, 8, process_index=1, process_count=2)
+    assert not set(d0.sequences) & set(d1.sequences)
+
+
+def test_schedules():
+    s = make_schedule("constant_with_warmup", 1e-3, warmup_steps=10)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1e-3) < 1e-9
+    assert abs(float(s(1000)) - 1e-3) < 1e-9
+    lin = make_schedule("linear", 1e-3, warmup_steps=10, total_steps=110)
+    assert float(lin(110)) < 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=8))
+    opt = optax.adam(1e-3)
+    init_state, train_step, _ = step_lib.make_train_step(
+        cfg, opt, mesh, params, dtype=jnp.float32, remat=False)
+    state = init_state(params)
+
+    from plantcaduceus_tpu.train.checkpoint import (CheckpointManager,
+                                                    export_params, load_params)
+
+    mgr = CheckpointManager(tmp_path / "ckpt", save_interval_steps=1)
+    assert mgr.save(1, state)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+    restored = mgr.restore(state)
+    np.testing.assert_allclose(np.asarray(restored.params["embedding"]),
+                               np.asarray(state.params["embedding"]))
+    mgr.close()
+
+    export_params(tmp_path / "export", jax.device_get(state.params), cfg)
+    params2, cfg2 = load_params(tmp_path / "export")
+    assert cfg2.d_model == cfg.d_model
+    np.testing.assert_allclose(np.asarray(params2["embedding"]),
+                               np.asarray(state.params["embedding"]))
+
+
+def test_heads_and_task_losses(rng):
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    head = heads.init_head(jax.random.PRNGKey(1), cfg, 2)
+    ids = jnp.asarray(rng.integers(7, 11, size=(4, 32)), jnp.int32)
+    logits = heads.sequence_logits(params, head, ids, cfg, dtype=jnp.float32)
+    assert logits.shape == (4, 2)
+    labels = jnp.asarray([0, 1, 1, 0])
+    assert np.isfinite(float(heads.task_loss(logits, labels, "classification")))
+    head1 = heads.init_head(jax.random.PRNGKey(1), cfg, 1)
+    l1 = heads.sequence_logits(params, head1, ids, cfg, dtype=jnp.float32)
+    assert np.isfinite(float(heads.task_loss(l1, jnp.ones(4), "regression")))
+    head3 = heads.init_head(jax.random.PRNGKey(1), cfg, 3)
+    l3 = heads.sequence_logits(params, head3, ids, cfg, dtype=jnp.float32)
+    y3 = jnp.asarray(rng.integers(0, 2, size=(4, 3)), jnp.float32)
+    assert np.isfinite(float(heads.task_loss(l3, y3, "multi_label")))
+
+
+def test_lora_training_descends(rng):
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=8))
+    cfg_l = lora_lib.LoraConfig(r=4, dropout=0.0)
+    opt = optax.adam(5e-3)
+    train_step, infer_fn = lora_lib.make_lora_train_step(
+        cfg, cfg_l, opt, mesh, params, task_type="classification",
+        dtype=jnp.float32, remat=False)
+    state = lora_lib.init_lora_state(jax.random.PRNGKey(1), params, cfg,
+                                     cfg_l, 2, opt)
+    ids = jnp.asarray(rng.integers(7, 11, size=(8, 32)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 2, size=(8,)))
+    batch = {"input_ids": ids, "labels": labels}
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        state, m = train_step(state, params, batch, sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    logits = infer_fn(state, params, batch)
+    assert logits.shape == (8, 2)
+    # zero-init B => adapters at init are a no-op
+    eff0 = lora_lib.apply_lora(params,
+                               lora_lib.init_lora(jax.random.PRNGKey(5),
+                                                  params, cfg_l), cfg_l)
+    np.testing.assert_allclose(
+        np.asarray(eff0["blocks"]["out_proj"]),
+        np.asarray(params["blocks"]["out_proj"]), atol=1e-7)
+
+
+def test_lora_adapter_roundtrip(tmp_path, rng):
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    cfg_l = lora_lib.LoraConfig(r=4)
+    opt = optax.adam(1e-3)
+    state = lora_lib.init_lora_state(jax.random.PRNGKey(1), params, cfg,
+                                     cfg_l, 2, opt)
+    lora_lib.save_adapter(tmp_path / "ad", state, cfg_l, "classification", "l20")
+    adapters, head, cfg_l2, task_type, base = lora_lib.load_adapter(tmp_path / "ad")
+    assert task_type == "classification" and base == "l20"
+    assert cfg_l2.r == 4
+    np.testing.assert_allclose(
+        np.asarray(head["w"]), np.asarray(state.head["w"]))
