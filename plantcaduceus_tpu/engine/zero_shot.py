@@ -103,8 +103,11 @@ def windows_from_vcf(vcf_path, fasta_path, window: int = 512,
                      token_idx: int = 255) -> Tuple[List[str], List[int]]:
     """Extract scoring windows for every record with at least one SNV alt.
     Returns (sequences, record_indices) exactly like
-    src/zero_shot_score.py:172-214 (including edge N-padding)."""
-    fasta = FastaIndex(fasta_path)
+    src/zero_shot_score.py:172-214 (including edge N-padding). Uses the C++
+    libpcio FASTA reader when built (io.native), Python fallback otherwise."""
+    from plantcaduceus_tpu.io.native import open_fasta
+
+    fasta = open_fasta(fasta_path)
     sequences: List[str] = []
     record_indices: List[int] = []
     prev_chrom: Optional[str] = None

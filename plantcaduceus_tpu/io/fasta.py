@@ -69,12 +69,17 @@ class FastaIndex:
     def _ensure(self, chrom: str) -> str:
         if chrom not in self._seqs:
             if self._loaded_all:
-                raise KeyError(chrom)
-            # stream until we find it, caching everything seen on the way
-            for name, seq in iter_fasta(self.path):
-                if name not in self._seqs:
-                    self._seqs[name] = seq
-            self._loaded_all = True
+                # evicted earlier: re-stream just this chromosome
+                for name, seq in iter_fasta(self.path):
+                    if name == chrom:
+                        self._seqs[name] = seq
+                        break
+            else:
+                # stream everything, caching all sequences on the way
+                for name, seq in iter_fasta(self.path):
+                    if name not in self._seqs:
+                        self._seqs[name] = seq
+                self._loaded_all = True
             if chrom not in self._seqs:
                 raise KeyError(chrom)
         return self._seqs[chrom]

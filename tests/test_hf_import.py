@@ -1,0 +1,142 @@
+"""HF checkpoint importer vs a synthetic torch-style state dict.
+
+Builds a state dict with the exact naming/packing conventions of the HF
+Caduceus remote code + mamba_ssm (RCPS wrappers, BiMamba fwd/rev with tied
+in/out projections, packed in_proj [2di, d] and x_proj [R+2N, di] row
+layouts, depthwise conv [di, 1, K]) and checks that the imported pytree
+reproduces the golden model's forward — guarding every transpose/split the
+importer performs (the silent-failure hazard of SURVEY.md §7.3).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from plantcaduceus_tpu.compat import hf_import
+from plantcaduceus_tpu.models.config import CaduceusConfig
+
+TINY = dict(d_model=16, n_layer=2, vocab_size=16, d_state=4, expand=2, d_conv=4)
+
+
+def make_state_dict(cfg, rng):
+    d, di, N, R, K = (cfg.d_model, cfg.d_inner, cfg.d_state, cfg.dt_rank,
+                      cfg.d_conv)
+    V = cfg.vocab_size
+    sd = {}
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.3
+
+    sd["caduceus.backbone.embeddings.word_embeddings.embedding.weight"] = r(V, d)
+    for i in range(cfg.n_layer):
+        base = f"caduceus.backbone.layers.{i}"
+        sd[f"{base}.norm.submodule.weight"] = 1 + 0.1 * r(d)
+        in_w = r(2 * di, d)
+        out_w = r(d, di)
+        for dir_ in ("mamba_fwd", "mamba_rev"):
+            m = f"{base}.mixer.submodule.{dir_}"
+            # tied in/out projections: identical tensors under both names
+            sd[f"{m}.in_proj.weight"] = in_w
+            sd[f"{m}.out_proj.weight"] = out_w
+            sd[f"{m}.conv1d.weight"] = r(di, 1, K)
+            sd[f"{m}.conv1d.bias"] = r(di)
+            sd[f"{m}.x_proj.weight"] = r(R + 2 * N, di)
+            sd[f"{m}.dt_proj.weight"] = r(di, R)
+            sd[f"{m}.dt_proj.bias"] = r(di)
+            sd[f"{m}.A_log"] = np.log(
+                np.tile(np.arange(1, N + 1, dtype=np.float32), (di, 1)))
+            sd[f"{m}.D"] = 1 + 0.1 * r(di)
+    sd["caduceus.backbone.norm_f.submodule.weight"] = 1 + 0.1 * r(d)
+    return sd
+
+
+@pytest.fixture
+def hf_dir(tmp_path, rng):
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "d_model": cfg.d_model, "n_layer": cfg.n_layer,
+        "vocab_size": cfg.vocab_size,
+        "ssm_cfg": {"d_state": cfg.d_state, "d_conv": cfg.d_conv,
+                    "expand": cfg.expand},
+        "rcps": True, "bidirectional": True,
+        "bidirectional_strategy": "add", "bidirectional_weight_tie": True,
+        "complement_map": {str(i): c for i, c in
+                           enumerate(cfg.complement_map)},
+        "rms_norm": True, "norm_epsilon": 1e-5,
+        "tie_word_embeddings": True,
+    }))
+    return tmp_path, cfg, sd
+
+
+def test_import_layout(hf_dir):
+    path, cfg, sd = hf_dir
+    params, cfg2 = hf_import.import_params(path)
+    assert cfg2.d_model == cfg.d_model and cfg2.rcps
+    di = cfg.d_inner
+    b = params["blocks"]
+    # tied projections collapse to Gio=1
+    assert b["in_proj_x"].shape == (cfg.n_layer, 1, cfg.d_model, di)
+    assert b["out_proj"].shape == (cfg.n_layer, 1, di, cfg.d_model)
+    # x row-split: first di rows of torch in_proj
+    w0 = sd["caduceus.backbone.layers.0.mixer.submodule.mamba_fwd.in_proj.weight"]
+    np.testing.assert_allclose(np.asarray(b["in_proj_x"][0, 0]), w0[:di].T)
+    np.testing.assert_allclose(np.asarray(b["in_proj_z"][0, 0]), w0[di:].T)
+    # x_proj rows: dt, B, C
+    xp = sd["caduceus.backbone.layers.0.mixer.submodule.mamba_fwd.x_proj.weight"]
+    R, N = cfg.dt_rank, cfg.d_state
+    np.testing.assert_allclose(np.asarray(b["x_proj_dt"][0, 0]), xp[:R].T)
+    np.testing.assert_allclose(np.asarray(b["x_proj_B"][0, 0]), xp[R:R + N].T)
+    np.testing.assert_allclose(np.asarray(b["x_proj_C"][0, 0]), xp[R + N:].T)
+    # conv squeeze
+    cw = sd["caduceus.backbone.layers.0.mixer.submodule.mamba_fwd.conv1d.weight"]
+    np.testing.assert_allclose(np.asarray(b["conv_w"][0, 0]), cw[:, 0, :])
+    # dt transpose
+    dw = sd["caduceus.backbone.layers.0.mixer.submodule.mamba_fwd.dt_proj.weight"]
+    np.testing.assert_allclose(np.asarray(b["dt_proj_w"][0, 0]), dw.T)
+
+
+def test_imported_forward_matches_golden(hf_dir, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from plantcaduceus_tpu.models import caduceus
+    from tests import golden
+
+    path, cfg, _ = hf_dir
+    params, cfg2 = hf_import.import_params(path)
+    ids = jnp.asarray(rng.integers(7, 11, size=(1, 24)), jnp.int32)
+    out = caduceus.forward(params, ids, cfg2, dtype=jnp.float32,
+                           output_hidden_states=True)
+    np_params = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    want_logits, want_hidden = golden.caduceus_forward_ref(
+        np.asarray(ids[0]), np_params, cfg2)
+    np.testing.assert_allclose(np.asarray(out["logits"][0]), want_logits,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["hidden_states"][0]),
+                               want_hidden, rtol=2e-4, atol=2e-4)
+
+
+def test_untied_directions(tmp_path, rng):
+    """Distinct fwd/rev in/out projections must keep the G axis."""
+    import torch
+
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    for i in range(cfg.n_layer):
+        m = f"caduceus.backbone.layers.{i}.mixer.submodule.mamba_rev"
+        sd[f"{m}.in_proj.weight"] = sd[f"{m}.in_proj.weight"] + 1.0
+        sd[f"{m}.out_proj.weight"] = sd[f"{m}.out_proj.weight"] + 1.0
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "d_model": cfg.d_model, "n_layer": cfg.n_layer,
+        "vocab_size": cfg.vocab_size, "rcps": True,
+        "bidirectional_weight_tie": False,
+        "ssm_cfg": {"d_state": cfg.d_state},
+    }))
+    params, cfg2 = hf_import.import_params(tmp_path)
+    assert params["blocks"]["in_proj_x"].shape[1] == 2
