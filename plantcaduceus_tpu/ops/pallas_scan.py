@@ -10,10 +10,11 @@ Layout and scheduling (tuned on TPU v5e, tools/sweep_scan.py):
 
 * Compute tensors are ``[bb, T, N, bd]``: the channel block (bd) rides the
   128-wide lane dimension, the small state axis N sits on sublanes, and
-  ``bb`` batch rows are processed per grid step. Batch-blocking is the key
-  lever: the time recurrence is a serial dependency chain, so each step must
-  carry enough parallel work (bb*N*bd lanes) to hide ALU latency — with
-  bb=1 the kernel is latency-bound at ~2x worse throughput.
+  ``bb`` batch rows can be folded per grid step. The v5e sweep shows the
+  kernel is *throughput*-bound at the fp32 VPU peak (~230 Gstates/s ≈
+  1.9 TFLOP/s at ~8 fp32 ops/state), not latency-bound: bb=1 with a large
+  time block (bl=256, bd=256) is fastest, and the [1, N, bd] recurrence
+  step already saturates the vector unit.
 * The recurrence runs as a plain unrolled sequential loop over time
   (t_inner=1). Hillis-Steele windows (t_inner>1) are implemented but lose on
   v5e: the 3*log2(T) extra vector ops cost more than the latency they hide.
@@ -42,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEF_BL = 256        # time-steps per grid step
 DEF_BD = 256        # channels per grid step (lane axis)
-DEF_BB = 8          # batch rows per grid step
+DEF_BB = 1          # batch rows per grid step (v5e sweep: bb>1 never wins)
 DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 
 
