@@ -115,24 +115,42 @@ def main(argv=None):
     except FileNotFoundError:
         pass
 
-    seqs = data_lib.sequence_source(args.dataset, seq_column=args.seq_column,
-                                    window=args.window, seed=args.seed)
-    train_data = data_lib.PretrainDataset(
-        seqs, tokenizer, args.batch_size,
-        soft_masked_weight=args.soft_masked_weight_train,
-        mlm_probability=args.mlm_probability, seed=args.seed,
-        process_index=jax.process_index(), process_count=jax.process_count())
+    if args.dataset.startswith("shards:"):
+        # Streaming path: shard directory, memory-bounded, multi-host
+        # deterministic (the MDS-streaming capability).
+        from plantcaduceus_tpu.train.streaming import StreamingPretrainDataset
+
+        train_data = StreamingPretrainDataset(
+            args.dataset[len("shards:"):], tokenizer, args.batch_size,
+            seq_column=args.seq_column, window=args.window,
+            soft_masked_weight=args.soft_masked_weight_train,
+            mlm_probability=args.mlm_probability, seed=args.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        seqs = None
+    else:
+        seqs = data_lib.sequence_source(args.dataset, seq_column=args.seq_column,
+                                        window=args.window, seed=args.seed)
+        train_data = data_lib.PretrainDataset(
+            seqs, tokenizer, args.batch_size,
+            soft_masked_weight=args.soft_masked_weight_train,
+            mlm_probability=args.mlm_probability, seed=args.seed,
+            process_index=jax.process_index(), process_count=jax.process_count())
     if args.eval_dataset:
         eval_seqs = data_lib.sequence_source(
             args.eval_dataset, split="validation", seq_column=args.seq_column,
             window=args.window, seed=args.seed + 1)
-    else:
+    elif seqs is not None:
         eval_seqs = seqs[: max(args.batch_size, len(seqs) // 20)]
-    eval_data = data_lib.PretrainDataset(
-        eval_seqs, tokenizer, args.batch_size,
-        soft_masked_weight=args.soft_masked_weight_eval,
-        mlm_probability=args.mlm_probability, seed=args.seed + 2,
-        process_index=jax.process_index(), process_count=jax.process_count())
+    else:
+        eval_seqs = None  # streaming without an eval split: skip eval
+    eval_data = None
+    if eval_seqs is not None:
+        eval_data = data_lib.PretrainDataset(
+            eval_seqs, tokenizer, args.batch_size,
+            soft_masked_weight=args.soft_masked_weight_eval,
+            mlm_probability=args.mlm_probability, seed=args.seed + 2,
+            process_index=jax.process_index(), process_count=jax.process_count())
 
     wandb_run = None
     if args.wandb_project:
@@ -147,7 +165,8 @@ def main(argv=None):
     tokens_per_step = args.batch_size * args.window * jax.process_count()
     state = loop_lib.run_training(
         state, train_step, eval_step, iter(train_data),
-        eval_data.eval_batches, args.max_steps,
+        eval_data.eval_batches if eval_data is not None else None,
+        args.max_steps,
         log_every=args.log_steps, eval_every=args.eval_steps,
         ckpt=ckpt, wandb_run=wandb_run, tokens_per_step=tokens_per_step)
 

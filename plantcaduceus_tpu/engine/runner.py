@@ -47,28 +47,35 @@ class InferenceRunner:
 
         pspecs = meshlib.param_pspec_tree(params, replicated=True)
         bspec = meshlib.batch_spec()
+        self._fwd_cache = {}
 
-        def local_fwd(params, ids, want_hidden):
-            # Per-device forward (batch rows local). shard_map rather than
-            # GSPMD because the Pallas scan has no SPMD partitioning rule.
-            out = caduceus.forward(params, ids, cfg, dtype=dtype,
-                                   output_hidden_states=want_hidden)
-            res = {"logits": out["logits"].astype(jnp.float32)}
-            if want_hidden:
-                res["hidden_states"] = out["hidden_states"].astype(jnp.float32)
-            return res
+        def build_fwd(extract, want_hidden):
+            """Compile forward + extraction as ONE program. The extraction
+            MUST live inside jit: eager array ops on the remote TPU cost
+            hundreds of ms of per-op dispatch (each is its own compile)."""
 
-        @functools.partial(jax.jit, static_argnames=("want_hidden",))
-        def _fwd(params, ids, want_hidden=False):
-            return jax.shard_map(
-                functools.partial(local_fwd, want_hidden=want_hidden),
-                mesh=self.mesh,
-                in_specs=(pspecs, bspec),
-                out_specs=P(("data", "fsdp")),
-                check_vma=False,
-            )(params, ids)
+            def local_fwd(params, ids):
+                # shard_map rather than GSPMD because the Pallas scan has no
+                # SPMD partitioning rule; batch rows are device-local.
+                out = caduceus.forward(params, ids, cfg, dtype=dtype,
+                                       output_hidden_states=want_hidden)
+                res = {"logits": out["logits"].astype(jnp.float32)}
+                if want_hidden:
+                    res["hidden_states"] = out["hidden_states"].astype(jnp.float32)
+                return extract(res)
 
-        self._fwd = _fwd
+            @jax.jit
+            def fwd(params, ids):
+                return jax.shard_map(
+                    local_fwd, mesh=self.mesh,
+                    in_specs=(pspecs, bspec),
+                    out_specs=P(("data", "fsdp")),
+                    check_vma=False,
+                )(params, ids)
+
+            return fwd
+
+        self._build_fwd = build_fwd
 
     # -- batching ----------------------------------------------------------
 
@@ -90,25 +97,38 @@ class InferenceRunner:
         extract: Callable[[dict], jax.Array],
         want_hidden: bool = False,
         progress: bool = True,
+        cache_key: Optional[tuple] = None,
     ) -> np.ndarray:
-        """Run the forward over all rows of ``ids`` ([N, L] int32), applying
-        ``extract`` (a host-side fn over the jitted outputs) per batch and
-        concatenating the results. ``extract`` sees dict with fp32 arrays."""
+        """Run the forward over all rows of ``ids`` ([N, L] int32). ``extract``
+        (traced into the compiled program — it sees a dict of fp32 arrays)
+        reduces per-batch outputs; batches are dispatched ahead of the host
+        readback so upload/compute/download pipeline."""
+        key = cache_key if cache_key is not None else id(extract)
+        fwd = self._fwd_cache.get(key)
+        if fwd is None:
+            fwd = self._build_fwd(extract, want_hidden)
+            self._fwd_cache[key] = fwd
+
         results = []
         batches = list(self._iter_batches(ids))
-        it = enumerate(batches)
+        it = batches
         if progress:
             try:
                 from tqdm import tqdm
 
-                it = enumerate(tqdm(batches, desc="forward", unit="batch"))
+                it = tqdm(batches, desc="forward", unit="batch")
             except ImportError:
                 pass
-        for _, (chunk, n) in it:
+        pending = []
+        for chunk, n in it:
             dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-            out = self._fwd(self.params, dev, want_hidden=want_hidden)
-            piece = np.asarray(extract(out))[:n]
-            results.append(piece)
+            pending.append((fwd(self.params, dev), n))
+            # keep a shallow dispatch pipeline; drain oldest to numpy
+            if len(pending) > 2:
+                out, m = pending.pop(0)
+                results.append(np.asarray(out)[:m])
+        for out, m in pending:
+            results.append(np.asarray(out)[:m])
         return np.concatenate(results, axis=0)
 
     # -- workload-specific extractors --------------------------------------
@@ -124,7 +144,8 @@ class InferenceRunner:
             sel = out["logits"][:, position, :][:, nuc]
             return jax.nn.softmax(sel, axis=-1)
 
-        return self.run(ids, extract, progress=progress)
+        return self.run(ids, extract, progress=progress,
+                        cache_key=("masked", position, tuple(nucleotide_ids)))
 
     def multi_masked_probs(self, ids: np.ndarray, nucleotide_ids,
                            positions, progress: bool = True) -> np.ndarray:
@@ -138,7 +159,9 @@ class InferenceRunner:
             sel = out["logits"][:, pos, :][..., nuc]           # [B, P, 4]
             return jax.nn.softmax(sel, axis=-1)
 
-        probs = self.run(ids, extract, progress=progress)       # [N, P, 4]
+        probs = self.run(ids, extract, progress=progress,
+                         cache_key=("multi", tuple(positions),
+                                    tuple(nucleotide_ids)))  # [N, P, 4]
         return probs.reshape(-1, probs.shape[-1])
 
     def positionwise_probs(self, ids: np.ndarray, nucleotide_ids,
@@ -150,7 +173,8 @@ class InferenceRunner:
         def extract(out):
             return jax.nn.softmax(out["logits"][..., nuc], axis=-1)
 
-        return self.run(ids, extract, progress=progress)
+        return self.run(ids, extract, progress=progress,
+                        cache_key=("positionwise", tuple(nucleotide_ids)))
 
     def center_embeddings(self, ids: np.ndarray, position: int,
                           rc_average: bool = True,
@@ -167,4 +191,5 @@ class InferenceRunner:
             fwd, rev = emb[:, :d], emb[:, d:][:, ::-1]
             return (fwd + rev) * 0.5
 
-        return self.run(ids, extract, want_hidden=True, progress=progress)
+        return self.run(ids, extract, want_hidden=True, progress=progress,
+                        cache_key=("embed", position, rc_average))

@@ -20,6 +20,7 @@ def causal_conv1d(
     w: jax.Array,
     b: Optional[jax.Array] = None,
     activation: Optional[str] = "silu",
+    anticausal: bool = False,
 ) -> jax.Array:
     """Depthwise causal 1-D convolution along the second-to-last axis.
 
@@ -31,10 +32,16 @@ def causal_conv1d(
 
     Equivalent to torch ``nn.Conv1d(D, D, K, groups=D, padding=K-1)[..., :L]``
     as used inside ``mamba_ssm.Mamba`` (see SURVEY.md §2.2).
+
+    ``anticausal=True`` computes ``flip_L(causal_conv(flip_L(x), w, b))``
+    without the flips — the reverse-direction conv of a bidirectional block
+    in natural time order (output at t looks at x[t .. t+K-1] through
+    reversed taps).
     """
     K = w.shape[-1]
     L = x.shape[-2]
-    pad = [(0, 0)] * (x.ndim - 2) + [(K - 1, 0), (0, 0)]
+    lpad, rpad = ((0, K - 1) if anticausal else (K - 1, 0))
+    pad = [(0, 0)] * (x.ndim - 2) + [(lpad, rpad), (0, 0)]
     xp = jnp.pad(x, pad)
 
     def _bcast(v):  # [*P, D] -> [*P, 1, ..., 1, D] matching x's rank
@@ -42,7 +49,8 @@ def causal_conv1d(
 
     y = None
     for k in range(K):
-        tap = xp[..., k : k + L, :] * _bcast(w[..., k])
+        tap_w = w[..., K - 1 - k] if anticausal else w[..., k]
+        tap = xp[..., k : k + L, :] * _bcast(tap_w)
         y = tap if y is None else y + tap
     if b is not None:
         y = y + _bcast(b)
@@ -50,4 +58,31 @@ def causal_conv1d(
         y = jax.nn.silu(y)
     elif activation is not None:
         raise ValueError(f"unsupported activation {activation!r}")
+    return y
+
+
+def depthwise_conv_xla(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    activation: Optional[str] = "silu",
+    anticausal: bool = False,
+) -> jax.Array:
+    """Same contract as :func:`causal_conv1d` for ``x: [B, L, D]`` /
+    ``w: [D, K]``, lowered through XLA's native depthwise convolution —
+    measurably cheaper on TPU than the K shifted multiply-adds (which XLA
+    fails to fuse into one pass over the activation)."""
+    K = w.shape[-1]
+    taps = jnp.flip(w, -1) if anticausal else w
+    # WIO with feature_group_count=D: [K, 1, D]
+    kernel = jnp.transpose(taps, (1, 0))[:, None, :].astype(x.dtype)
+    pad = (0, K - 1) if anticausal else (K - 1, 0)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=[pad],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=x.shape[-1])
+    if b is not None:
+        y = y + b[None, None, :].astype(x.dtype)
+    if activation == "silu":
+        y = jax.nn.silu(y)
     return y

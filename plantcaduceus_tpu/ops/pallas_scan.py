@@ -3,38 +3,42 @@
 Replaces the reference's ``selective_scan_cuda`` (mamba-ssm CUDA wheel) with
 a chunked scan that never materialises the ``[B, L, D, N]`` state tensors in
 HBM — the associative-scan JAX fallback's weakness (it OOMs a 16 GB chip at
-batch 128 for l20). HBM traffic is exactly the kernel inputs/outputs
-(``x, dt, y: [*, L, D]`` and ``B, C: [*, L, N]``); all state lives in VMEM.
+batch 128 for l20). HBM traffic is exactly the kernel inputs/outputs; all
+state lives in VMEM.
 
 Layout and scheduling (tuned on TPU v5e, tools/sweep_scan.py):
 
 * Compute tensors are ``[bb, T, N, bd]``: the channel block (bd) rides the
-  128-wide lane dimension, the small state axis N sits on sublanes, and
-  ``bb`` batch rows can be folded per grid step. The v5e sweep shows the
-  kernel is *throughput*-bound at the fp32 VPU peak (~230 Gstates/s ≈
-  1.9 TFLOP/s at ~8 fp32 ops/state), not latency-bound: bb=1 with a large
-  time block (bl=256, bd=256) is fastest, and the [1, N, bd] recurrence
-  step already saturates the vector unit.
-* The recurrence runs as a plain unrolled sequential loop over time
-  (t_inner=1). Hillis-Steele windows (t_inner>1) are implemented but lose on
-  v5e: the 3*log2(T) extra vector ops cost more than the latency they hide.
+  128-wide lane dimension, the small state axis N sits on sublanes. The v5e
+  sweep shows the kernel is *throughput*-bound at the fp32 VPU peak
+  (~230 Gstates/s ≈ 1.9 TFLOP/s at ~8 fp32 ops/state): bb=1 with a large
+  time block (bl=256, bd=256) is fastest; Hillis-Steele windows (t_inner>1)
+  lose — their 3*log2(T) extra vector ops cost more than any latency hidden.
 * Grid is (rows/bb, D/bd, L/bl) with the L axis innermost; the fp32 carry
   persists across L-chunks in a VMEM scratch (TPU grid iteration is
   sequential over the innermost dim).
-* dt-bias + softplus + discretisation (exp) fuse into the kernel prologue;
-  the D-skip and C-contraction fuse into the epilogue.
+* Fused into the kernel: the low-rank dt projection (``dt_lr @ W_dt``, a
+  tiny per-block MXU matmul — avoids materialising the [rows, L, d_inner]
+  dt tensor in HBM), dt-bias + softplus + discretisation (exp), the D-skip
+  and the C-contraction.
+* **Reverse mode**: a static flag flips the time direction *inside* the
+  kernel (reversed L-chunk index map + reversed in-block recurrence), so a
+  bidirectional Mamba block never materialises a flipped copy of any
+  activation — jnp.flip on [rows, L, d_inner] tensors was ~4 ms/layer of
+  pure HBM traffic. Groups with different directions run as separate
+  pallas_calls (the flag must be static).
 
-Chunk-entry states are emitted as a side output ``[rows, n_chunks, D, N]``
-so a backward pass can recompute intra-chunk states chunk-locally.
-``selective_scan_pallas`` carries a custom VJP whose backward currently
-recomputes through the pure-JAX associative formulation (correct; a
-dedicated reverse-scan kernel is the planned upgrade).
+Chunk-entry states are emitted as a side output so a backward pass can
+recompute intra-chunk states chunk-locally. ``selective_scan_pallas``
+carries a custom VJP whose backward currently recomputes through the
+pure-JAX associative formulation (correct; a dedicated reverse-scan kernel
+is the planned upgrade).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +51,9 @@ DEF_BB = 1          # batch rows per grid step (v5e sweep: bb>1 never wins)
 DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 
 
-def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, x_ref, dt_ref, B_ref, C_ref,
-                y_ref, hb_ref, h_scr, *, t_inner: int):
+def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
+                C_ref, y_ref, hb_ref, h_scr, *, t_inner: int, reverse: bool,
+                fuse_dtproj: bool):
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -56,7 +61,6 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, x_ref, dt_ref, B_ref, C_ref,
         h_scr[:] = jnp.zeros_like(h_scr)
 
     x = x_ref[...].astype(jnp.float32)        # [bb, bl, bd]
-    dt = dt_ref[...].astype(jnp.float32)      # [bb, bl, bd]
     Bm = B_ref[...].astype(jnp.float32)       # [bb, bl, N]
     Cm = C_ref[...].astype(jnp.float32)       # [bb, bl, N]
     At = A_ref[0].astype(jnp.float32).T       # [N, bd]
@@ -66,7 +70,18 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, x_ref, dt_ref, B_ref, C_ref,
     bb, bl, bd = x.shape
     N = Bm.shape[-1]
 
-    # chunk-entry state (before this L-chunk) for the backward pass
+    if fuse_dtproj:
+        # dt_ref holds the low-rank dt (dt_lr): [bb, bl, R]; project up.
+        dt_lr = dt_ref[...].astype(jnp.float32)
+        wdt = wdt_ref[0].astype(jnp.float32)                  # [R, bd]
+        dt = jax.lax.dot_general(
+            dt_lr.reshape(bb * bl, -1), wdt,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(bb, bl, bd)
+    else:
+        dt = dt_ref[...].astype(jnp.float32)                  # [bb, bl, bd]
+
+    # chunk-entry state (in processing order) for the backward pass
     hb_ref[:, 0] = jnp.swapaxes(h_scr[...], 1, 2)  # [bb, bd, N]
 
     dtp = jax.nn.softplus(dt + dtb[None, None, :])           # [bb, bl, bd]
@@ -74,6 +89,7 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, x_ref, dt_ref, B_ref, C_ref,
     b = (dtp * x)[:, :, None, :] * Bm[..., None]             # [bb, bl, N, bd]
 
     if t_inner > 1:
+        assert not reverse, "reverse mode requires t_inner == 1"
         # Hillis-Steele inclusive scan within windows of t_inner steps.
         C_out = bl // t_inner
         a = a.reshape(bb * C_out, t_inner, N, bd)
@@ -94,12 +110,17 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, x_ref, dt_ref, B_ref, C_ref,
 
     # Sequential carry across windows (and across L-chunks via scratch).
     h0 = h_scr[...]                                          # [bb, N, bd]
+    steps = range(0, bl, t_inner)
+    if reverse:
+        steps = reversed(list(steps))
     hs = []
-    for c in range(0, bl, t_inner):
+    for c in steps:
         hc = b[:, c : c + t_inner] + a[:, c : c + t_inner] * h0[:, None]
         h0 = hc[:, t_inner - 1]
         hs.append(hc)
     h_scr[...] = h0
+    if reverse:
+        hs = hs[::-1]
     h = jnp.concatenate(hs, axis=1)                          # [bb, bl, N, bd]
 
     y = jnp.sum(h * Cm[..., None], axis=2)                   # [bb, bl, bd]
@@ -116,11 +137,15 @@ def _pick_bb(R: int, B: int, G: int, bb: int) -> int:
     return max(bb, 1)
 
 
-def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
-                     bl: int, bd: int, t_inner: int, bb: int):
+def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                       bl, bd, t_inner, bb, reverse):
+    """One pallas_call over rows of (possibly several) groups sharing a
+    static ``reverse`` flag. Shapes as in selective_scan but G may be 1."""
     G, B, L, D = x.shape
     R = G * B
     N = A.shape[-1]
+    fuse_dtproj = dt_proj_w is not None
+    Rk = dt.shape[-1]  # dt feature dim: R_lowrank if fused else D
     bl = min(bl, L)
     bd = min(bd, D)
     bb = _pick_bb(R, B, G, bb)
@@ -129,11 +154,16 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
     nl, nd = L // bl, D // bd
 
     xf = x.reshape(R, L, D)
-    dtf = dt.reshape(R, L, D)
+    dtf = dt.reshape(R, L, Rk)
     Bf = Bm.reshape(R, L, N)
     Cf = Cm.reshape(R, L, N)
+    if dt_proj_w is None:
+        dt_proj_w = jnp.zeros((G, 1, D), jnp.float32)  # placeholder input
 
     grid = (R // bb, nd, nl)
+
+    def lmap(l):
+        return (nl - 1 - l) if reverse else l
 
     def pmap(r, d, l):  # params indexed by group g = first-row // B
         return ((r * bb) // B, 0, d)
@@ -141,7 +171,11 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
     def amap(r, d, l):
         return ((r * bb) // B, d, 0)
 
-    kernel = functools.partial(_fwd_kernel, t_inner=t_inner)
+    kernel = functools.partial(_fwd_kernel, t_inner=t_inner, reverse=reverse,
+                               fuse_dtproj=fuse_dtproj)
+    dt_cols = Rk if fuse_dtproj else bd
+    dt_map = ((lambda r, d, l: (r, lmap(l), 0)) if fuse_dtproj
+              else (lambda r, d, l: (r, lmap(l), d)))
     y, hb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -149,13 +183,15 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
             pl.BlockSpec((1, 1, bd), pmap),                            # dt_bias
             pl.BlockSpec((1, bd, N), amap),                            # A
             pl.BlockSpec((1, 1, bd), pmap),                            # Dskip
-            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, l, d)),     # x
-            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, l, d)),     # dt
-            pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, l, 0)),      # B
-            pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, l, 0)),      # C
+            pl.BlockSpec((1, dt_proj_w.shape[1], bd),
+                         lambda r, d, l: ((r * bb) // B, 0, d)),       # W_dt
+            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, lmap(l), d)),  # x
+            pl.BlockSpec((bb, bl, dt_cols), dt_map),                   # dt(_lr)
+            pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, lmap(l), 0)),  # B
+            pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, lmap(l), 0)),  # C
         ],
         out_specs=[
-            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, l, d)),     # y
+            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, lmap(l), d)),  # y
             pl.BlockSpec((bb, 1, bd, N), lambda r, d, l: (r, l, d, 0)),
         ],
         out_shape=[
@@ -166,34 +202,71 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(dt_bias[:, None, :], A, Dskip[:, None, :], xf, dtf, Bf, Cf)
+    )(dt_bias[:, None, :], A, Dskip[:, None, :], dt_proj_w, xf, dtf, Bf, Cf)
     return y.reshape(G, B, L, D), hb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, bl, bd, t_inner, bb):
+def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                     bl, bd, t_inner, bb, directions):
+    G = x.shape[0]
+    if directions is None or not any(directions):
+        return _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias,
+                                  dt_proj_w, bl, bd, t_inner, bb,
+                                  reverse=False)
+    # Split groups by direction (reverse is a static kernel property).
+    ys = []
+    for g in range(G):
+        sel = lambda t: (t[g : g + 1] if t is not None else None)
+        y_g, _ = _pallas_scan_group(
+            x[g : g + 1], dt[g : g + 1], A[g : g + 1], Bm[g : g + 1],
+            Cm[g : g + 1], Dskip[g : g + 1], dt_bias[g : g + 1],
+            sel(dt_proj_w), bl, bd, t_inner, bb, reverse=bool(directions[g]))
+        ys.append(y_g)
+    return jnp.concatenate(ys, axis=0), None
+
+
+def _ref_scan(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, directions):
+    """Differentiable pure-JAX reference of the fused op (for the VJP)."""
+    from plantcaduceus_tpu.ops.selective_scan import selective_scan_associative
+
+    if dt_proj_w is not None:
+        dt = jnp.einsum("gblr,gri->gbli", dt, dt_proj_w)
+    if directions is not None and any(directions):
+        flip = jnp.asarray([bool(d) for d in directions])
+        dirmask = flip[:, None, None, None]
+        rev = lambda t: jnp.where(dirmask, jnp.flip(t, axis=2), t)
+        x, dt, Bm, Cm = rev(x), rev(dt), rev(Bm), rev(Cm)
+        y = selective_scan_associative(x, dt, A, Bm, Cm, Dskip,
+                                       dt_bias=dt_bias, dt_softplus=True)
+        return rev(y)
+    return selective_scan_associative(x, dt, A, Bm, Cm, Dskip,
+                                      dt_bias=dt_bias, dt_softplus=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+             bl, bd, t_inner, bb, directions, has_dtw):
     y, _ = _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
-                            bl, bd, t_inner, bb)
+                            dt_proj_w if has_dtw else None,
+                            bl, bd, t_inner, bb, directions)
     return y
 
 
-def _scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, bl, bd, t_inner, bb):
-    y, _ = _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias,
-                            bl, bd, t_inner, bb)
-    return y, (x, dt, A, Bm, Cm, Dskip, dt_bias)
+def _scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                 bl, bd, t_inner, bb, directions, has_dtw):
+    y = _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                 bl, bd, t_inner, bb, directions, has_dtw)
+    return y, (x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w)
 
 
-def _scan_op_bwd(bl, bd, t_inner, bb, res, gy):
-    # Interim backward: recompute via the associative formulation (pure JAX).
-    from plantcaduceus_tpu.ops.selective_scan import selective_scan_associative
+def _scan_op_bwd(bl, bd, t_inner, bb, directions, has_dtw, res, gy):
+    x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w = res
 
-    x, dt, A, Bm, Cm, Dskip, dt_bias = res
+    def f(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w):
+        return _ref_scan(x, dt, A, Bm, Cm, Dskip, dt_bias,
+                         dt_proj_w if has_dtw else None, directions)
 
-    def f(x, dt, A, Bm, Cm, Dskip, dt_bias):
-        return selective_scan_associative(x, dt, A, Bm, Cm, Dskip,
-                                          dt_bias=dt_bias, dt_softplus=True)
-
-    _, vjp = jax.vjp(f, x, dt, A, Bm, Cm, Dskip, dt_bias)
+    _, vjp = jax.vjp(f, x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w)
     return vjp(gy)
 
 
@@ -209,19 +282,34 @@ def selective_scan_pallas(
     Dskip: jax.Array,
     dt_bias: Optional[jax.Array] = None,
     dt_softplus: bool = True,
+    dt_proj_w: Optional[jax.Array] = None,
+    directions: Optional[Sequence[bool]] = None,
     bl: int = DEF_BL,
     bd: int = DEF_BD,
     t_inner: int = DEF_T_INNER,
     bb: int = DEF_BB,
 ) -> jax.Array:
-    """Public entry, same contract as ops.selective_scan.selective_scan."""
+    """Same contract as ops.selective_scan.selective_scan, plus:
+
+    dt_proj_w: [G, R, D] — when given, ``dt`` is the low-rank dt
+        ([G, B, L, R]) and the up-projection happens inside the kernel.
+    directions: per-group reverse flags — groups marked True scan
+        right-to-left natively (no flipped activations anywhere).
+    """
     if not dt_softplus:
         raise NotImplementedError("pallas scan fuses softplus; dt_softplus=False "
                                   "is only available in the JAX impls")
-    G = x.shape[0]
+    G, D = x.shape[0], x.shape[-1]
     if dt_bias is None:
-        dt_bias = jnp.zeros((G, x.shape[-1]), jnp.float32)
+        dt_bias = jnp.zeros((G, D), jnp.float32)
     A = A.astype(jnp.float32)
     Dskip = Dskip.astype(jnp.float32)
     dt_bias = dt_bias.astype(jnp.float32)
-    return _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, bl, bd, t_inner, bb)
+    has_dtw = dt_proj_w is not None
+    if has_dtw:
+        dt_proj_w = dt_proj_w.astype(jnp.float32)
+    else:
+        dt_proj_w = jnp.zeros((G, 1, D), jnp.float32)
+    dirs = tuple(bool(d) for d in directions) if directions is not None else None
+    return _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                    bl, bd, t_inner, bb, dirs, has_dtw)

@@ -48,7 +48,7 @@ def run_training(
     train_step: Callable,
     eval_step: Callable,
     train_iter: Iterator[dict],
-    eval_batches: Callable[[], Iterable[dict]],
+    eval_batches: Optional[Callable[[], Iterable[dict]]],
     max_steps: int,
     log_every: int = 50,
     eval_every: int = 1000,
@@ -79,7 +79,7 @@ def run_training(
                 wandb_run.log({"train/" + k: v for k, v in m.items()},
                               step=step + 1)
 
-        if eval_every and (step + 1) % eval_every == 0:
+        if eval_every and eval_batches is not None and (step + 1) % eval_every == 0:
             ev = evaluate(state, eval_step, eval_batches(), eval_max_batches)
             if host0:
                 log.info("eval @ %d: loss=%.4f ppl=%.2f acc=%.4f", step + 1,

@@ -35,6 +35,55 @@ def test_pallas_fwd_matches_reference(rng, shape):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_reverse_and_fused_dtproj(rng):
+    """directions=(False, True) + in-kernel dt projection vs the explicit
+    flip + einsum formulation."""
+    G, B, L, D, N, R = 2, 2, 128, 32, 8, 4
+    x = jnp.asarray(rng.standard_normal((G, B, L, D)), jnp.float32)
+    dt_lr = jnp.asarray(rng.standard_normal((G, B, L, R)) * 0.5, jnp.float32)
+    wdt = jnp.asarray(rng.standard_normal((G, R, D)) * 0.3, jnp.float32)
+    A = jnp.asarray(-np.exp(rng.standard_normal((G, D, N)) * 0.5), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((G, B, L, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((G, B, L, N)), jnp.float32)
+    Ds = jnp.asarray(rng.standard_normal((G, D)), jnp.float32)
+    dtb = jnp.asarray(rng.standard_normal((G, D)) * 0.3, jnp.float32)
+
+    # reference: project dt, flip group 1 around a forward scan
+    dt = jnp.einsum("gblr,gri->gbli", dt_lr, wdt)
+    flip1 = lambda t: t.at[1].set(jnp.flip(t[1], axis=1))
+    want = selective_scan_sequential(flip1(x), flip1(dt), A, flip1(Bm),
+                                     flip1(Cm), Ds, dt_bias=dtb)
+    want = flip1(want)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_scan.selective_scan_pallas(
+            x, dt_lr, A, Bm, Cm, Ds, dt_bias=dtb, dt_proj_w=wdt,
+            directions=(False, True), bl=64, bd=16, t_inner=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_model_path_matches_flip_path(rng):
+    """mamba_mixer's flip-free pallas path == the explicit-flip JAX path."""
+    import dataclasses
+
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+
+    cfg = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(7, 11, size=(2, 64)), jnp.int32)
+    ref = caduceus.forward(params, ids,
+                           dataclasses.replace(cfg, scan_impl="associative"),
+                           dtype=jnp.float32)["logits"]
+    with pltpu.force_tpu_interpret_mode():
+        got = caduceus.forward(params, ids,
+                               dataclasses.replace(cfg, scan_impl="pallas"),
+                               dtype=jnp.float32)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_pallas_bwd_matches_reference(rng):
     args = make_inputs(rng, G=1, B=1, L=64, D=16, N=4)
 
