@@ -65,6 +65,8 @@ def parse_args(argv=None):
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
     p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
+    p.add_argument("--profile-dir", default=None,
+                   help="jax.profiler trace dir (traces steps 10-13)")
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--wandb-run-name", default=None)
     return p.parse_args(argv)
@@ -168,7 +170,8 @@ def main(argv=None):
         eval_data.eval_batches if eval_data is not None else None,
         args.max_steps,
         log_every=args.log_steps, eval_every=args.eval_steps,
-        ckpt=ckpt, wandb_run=wandb_run, tokens_per_step=tokens_per_step)
+        ckpt=ckpt, wandb_run=wandb_run, tokens_per_step=tokens_per_step,
+        profile_dir=args.profile_dir)
 
     # Final standalone export for the inference CLIs.
     params_host = jax.device_get(state.params)

@@ -53,6 +53,10 @@ from plantcaduceus_tpu.ops.selective_scan import selective_scan
 
 Params = Dict[str, Any]
 
+import os as _os
+
+_USE_GATED_KERNEL = _os.environ.get("PCAD_GATED_KERNEL") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Initialisation (matches mamba_ssm defaults so pre-training behaves the same)
@@ -276,6 +280,22 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
         jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype)), tp_axis)
 
     if fused:
+        if (xi.shape[0] == 1 and cfg.bidirectional_strategy == "add"
+                and _USE_GATED_KERNEL):
+            # Alternative fully fused tied+add path: sum + gate inside the
+            # kernel. Measured slightly SLOWER on v5e than the split path
+            # (the scan kernel is VPU-saturated; the extra in-kernel gate
+            # work costs more than the saved HBM pass) — kept behind
+            # PCAD_GATED_KERNEL=1 for future hardware.
+            from plantcaduceus_tpu.ops.pallas_scan import bimamba_scan_gated
+
+            y_gated = bimamba_scan_gated(
+                xg, dt_lr, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
+                p["dt_proj_b"], p["dt_proj_w"].astype(jnp.float32),
+                z[0],  # raw gate; silu applied in-kernel
+            )
+            return _maybe_psum(y_gated @ p["out_proj"][0].astype(cdtype),
+                               tp_axis)
         from plantcaduceus_tpu.ops.pallas_scan import selective_scan_pallas
 
         y = selective_scan_pallas(

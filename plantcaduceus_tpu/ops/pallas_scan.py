@@ -52,8 +52,12 @@ DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 
 
 def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
-                C_ref, y_ref, hb_ref, h_scr, *, t_inner: int, reverse: bool,
-                fuse_dtproj: bool):
+                C_ref, *rest, t_inner: int, reverse: bool,
+                fuse_dtproj: bool, combine: bool):
+    if combine:
+        yprev_ref, z_ref, y_ref, hb_ref, h_scr = rest
+    else:
+        y_ref, hb_ref, h_scr = rest
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -125,6 +129,12 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
 
     y = jnp.sum(h * Cm[..., None], axis=2)                   # [bb, bl, bd]
     y = y + x * dsk[None, None, :]
+    if combine:
+        # Bidirectional epilogue: add the forward-direction output and apply
+        # the SiLU gate in-kernel (saves a y1 round-trip + a fused pass).
+        y = y + yprev_ref[...].astype(jnp.float32)
+        z = z_ref[...].astype(jnp.float32)
+        y = y * (z * jax.lax.logistic(z))
     y_ref[...] = y.astype(y_ref.dtype)
 
 
@@ -138,9 +148,13 @@ def _pick_bb(R: int, B: int, G: int, bb: int) -> int:
 
 
 def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
-                       bl, bd, t_inner, bb, reverse):
+                       bl, bd, t_inner, bb, reverse,
+                       y_prev=None, z=None):
     """One pallas_call over rows of (possibly several) groups sharing a
-    static ``reverse`` flag. Shapes as in selective_scan but G may be 1."""
+    static ``reverse`` flag. Shapes as in selective_scan but G may be 1.
+    When ``y_prev``/``z`` are given ([G, B, L, D]), the kernel emits
+    ``(y + y_prev) * silu(z)`` — the bidirectional-sum + gate epilogue."""
+    combine = y_prev is not None
     G, B, L, D = x.shape
     R = G * B
     N = A.shape[-1]
@@ -172,26 +186,34 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         return ((r * bb) // B, d, 0)
 
     kernel = functools.partial(_fwd_kernel, t_inner=t_inner, reverse=reverse,
-                               fuse_dtproj=fuse_dtproj)
+                               fuse_dtproj=fuse_dtproj, combine=combine)
     dt_cols = Rk if fuse_dtproj else bd
     dt_map = ((lambda r, d, l: (r, lmap(l), 0)) if fuse_dtproj
               else (lambda r, d, l: (r, lmap(l), d)))
+    xmap = lambda r, d, l: (r, lmap(l), d)
+    in_specs = [
+        pl.BlockSpec((1, 1, bd), pmap),                            # dt_bias
+        pl.BlockSpec((1, bd, N), amap),                            # A
+        pl.BlockSpec((1, 1, bd), pmap),                            # Dskip
+        pl.BlockSpec((1, dt_proj_w.shape[1], bd),
+                     lambda r, d, l: ((r * bb) // B, 0, d)),       # W_dt
+        pl.BlockSpec((bb, bl, bd), xmap),                          # x
+        pl.BlockSpec((bb, bl, dt_cols), dt_map),                   # dt(_lr)
+        pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, lmap(l), 0)),  # B
+        pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, lmap(l), 0)),  # C
+    ]
+    operands = [dt_bias[:, None, :], A, Dskip[:, None, :], dt_proj_w,
+                xf, dtf, Bf, Cf]
+    if combine:
+        in_specs += [pl.BlockSpec((bb, bl, bd), xmap),             # y_prev
+                     pl.BlockSpec((bb, bl, bd), xmap)]             # z
+        operands += [y_prev.reshape(R, L, D), z.reshape(R, L, D)]
     y, hb = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bd), pmap),                            # dt_bias
-            pl.BlockSpec((1, bd, N), amap),                            # A
-            pl.BlockSpec((1, 1, bd), pmap),                            # Dskip
-            pl.BlockSpec((1, dt_proj_w.shape[1], bd),
-                         lambda r, d, l: ((r * bb) // B, 0, d)),       # W_dt
-            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, lmap(l), d)),  # x
-            pl.BlockSpec((bb, bl, dt_cols), dt_map),                   # dt(_lr)
-            pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, lmap(l), 0)),  # B
-            pl.BlockSpec((bb, bl, N), lambda r, d, l: (r, lmap(l), 0)),  # C
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bb, bl, bd), lambda r, d, l: (r, lmap(l), d)),  # y
+            pl.BlockSpec((bb, bl, bd), xmap),                      # y
             pl.BlockSpec((bb, 1, bd, N), lambda r, d, l: (r, l, d, 0)),
         ],
         out_shape=[
@@ -202,7 +224,7 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(dt_bias[:, None, :], A, Dskip[:, None, :], dt_proj_w, xf, dtf, Bf, Cf)
+    )(*operands)
     return y.reshape(G, B, L, D), hb
 
 
@@ -223,6 +245,47 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
             sel(dt_proj_w), bl, bd, t_inner, bb, reverse=bool(directions[g]))
         ys.append(y_g)
     return jnp.concatenate(ys, axis=0), None
+
+
+def _manual_grads(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, gy,
+                  directions, has_dtw, hb_list=None, chunk=128):
+    """Hand-written gradients (ops.scan_bwd) with direction-flip handling
+    and the low-rank dt chain. ``dt`` is dt_lr when has_dtw else dt_raw."""
+    from plantcaduceus_tpu.ops.scan_bwd import selective_scan_grads
+
+    f32 = jnp.float32
+    if has_dtw:
+        dt_raw = jnp.einsum("gblr,gri->gbli", dt.astype(f32),
+                            dt_proj_w.astype(f32))
+    else:
+        dt_raw = dt
+
+    if directions is not None and any(directions):
+        flip = jnp.asarray([bool(d) for d in directions])
+        m = flip[:, None, None, None]
+        rev = lambda t: jnp.where(m, jnp.flip(t, axis=2), t)
+    else:
+        rev = lambda t: t
+
+    G, B = x.shape[0], x.shape[1]
+    hb = None
+    if hb_list is not None:
+        hb = jnp.concatenate(hb_list, axis=0) if isinstance(hb_list, (list, tuple)) \
+            else hb_list
+    dx, ddt_raw, dA, dBm, dCm, dD, ddtb = selective_scan_grads(
+        rev(x), rev(dt_raw), A, rev(Bm), rev(Cm), Dskip, dt_bias, rev(gy),
+        hb=hb, chunk=chunk)
+    dx, ddt_raw, dBm, dCm = rev(dx), rev(ddt_raw), rev(dBm), rev(dCm)
+
+    if has_dtw:
+        ddt = jnp.einsum("gbli,gri->gblr", ddt_raw,
+                         dt_proj_w.astype(f32)).astype(dt.dtype)
+        dW = jnp.einsum("gblr,gbli->gri", dt.astype(f32), ddt_raw)
+    else:
+        ddt = ddt_raw.astype(dt.dtype)
+        dW = jnp.zeros_like(dt_proj_w)
+    return (dx.astype(x.dtype), ddt, dA, dBm.astype(Bm.dtype),
+            dCm.astype(Cm.dtype), dD, ddtb, dW)
 
 
 def _ref_scan(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, directions):
@@ -261,16 +324,98 @@ def _scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
 
 def _scan_op_bwd(bl, bd, t_inner, bb, directions, has_dtw, res, gy):
     x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w = res
-
-    def f(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w):
-        return _ref_scan(x, dt, A, Bm, Cm, Dskip, dt_bias,
-                         dt_proj_w if has_dtw else None, directions)
-
-    _, vjp = jax.vjp(f, x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w)
-    return vjp(gy)
+    return _manual_grads(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, gy,
+                         directions, has_dtw)
 
 
 _scan_op.defvjp(_scan_op_fwd, _scan_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _bimamba_op(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
+                bl, bd, t_inner, bb):
+    y0, _ = _pallas_scan_group(
+        x[0:1], dt_lr[0:1], A[0:1], Bm[0:1], Cm[0:1], Dskip[0:1],
+        dt_bias[0:1], dt_proj_w[0:1], bl, bd, t_inner, bb, reverse=False)
+    y, _ = _pallas_scan_group(
+        x[1:2], dt_lr[1:2], A[1:2], Bm[1:2], Cm[1:2], Dskip[1:2],
+        dt_bias[1:2], dt_proj_w[1:2], bl, bd, t_inner, bb, reverse=True,
+        y_prev=y0, z=z[None])
+    return y[0]
+
+
+def _bimamba_ref(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z):
+    y = _ref_scan(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                  directions=(False, True))
+    return (y[0] + y[1]) * jax.nn.silu(z)
+
+
+def _bimamba_op_fwd(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
+                    bl, bd, t_inner, bb):
+    # Under differentiation: run the two direction scans un-combined so the
+    # pre-gate sum (needed for dz) is available as a residual, alongside the
+    # kernel's chunk-boundary states for the chunk-local backward.
+    y0, hb0 = _pallas_scan_group(
+        x[0:1], dt_lr[0:1], A[0:1], Bm[0:1], Cm[0:1], Dskip[0:1],
+        dt_bias[0:1], dt_proj_w[0:1], bl, bd, t_inner, bb, reverse=False)
+    y1, hb1 = _pallas_scan_group(
+        x[1:2], dt_lr[1:2], A[1:2], Bm[1:2], Cm[1:2], Dskip[1:2],
+        dt_bias[1:2], dt_proj_w[1:2], bl, bd, t_inner, bb, reverse=True)
+    y_sum = (y0[0] + y1[0]).astype(jnp.float32)
+    y = (y_sum * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
+    return y, (x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
+               y_sum, hb0, hb1)
+
+
+def _bimamba_op_bwd(bl, bd, t_inner, bb, res, gy):
+    (x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
+     y_sum, hb0, hb1) = res
+    f32 = jnp.float32
+    gy = gy.astype(f32)
+    zf = z.astype(f32)
+    sig = jax.nn.sigmoid(zf)
+    silu = zf * sig
+    dz = (gy * y_sum * (sig + silu * (1 - sig))).astype(z.dtype)
+    gy_scan = (gy * silu).astype(x.dtype)
+    gy_scan = jnp.stack([gy_scan, gy_scan])  # same cotangent, both directions
+
+    # hb for the reversed group is stored in processing (reversed) order —
+    # matching the flipped coordinates _manual_grads uses for that group.
+    dx, ddt, dA, dBm, dCm, dD, ddtb, dW = _manual_grads(
+        x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, gy_scan,
+        directions=(False, True), has_dtw=True,
+        hb_list=[hb0, hb1], chunk=min(bl, x.shape[2]))
+    return dx, ddt, dA, dBm, dCm, dD, ddtb, dW, dz
+
+
+_bimamba_op.defvjp(_bimamba_op_fwd, _bimamba_op_bwd)
+
+
+def bimamba_scan_gated(
+    x: jax.Array,
+    dt_lr: jax.Array,
+    A: jax.Array,
+    Bm: jax.Array,
+    Cm: jax.Array,
+    Dskip: jax.Array,
+    dt_bias: jax.Array,
+    dt_proj_w: jax.Array,
+    z: jax.Array,
+    bl: int = DEF_BL,
+    bd: int = DEF_BD,
+    t_inner: int = DEF_T_INNER,
+    bb: int = DEF_BB,
+) -> jax.Array:
+    """Fused bidirectional scan + direction sum + SiLU gate.
+
+    Inputs carry G=2 direction groups in natural time order (group 1's conv
+    must have been anticausal); ``z`` is the shared gate ``[B, L, D]``.
+    Returns ``(scan_fwd + scan_rev) * silu(z)`` as ``[B, L, D]`` — the whole
+    BiMamba inner block minus the in/out projections, with no intermediate
+    HBM round-trips between the two directions and the gate."""
+    return _bimamba_op(x, dt_lr, A.astype(jnp.float32), Bm, Cm,
+                       Dskip.astype(jnp.float32), dt_bias.astype(jnp.float32),
+                       dt_proj_w.astype(jnp.float32), z, bl, bd, t_inner, bb)
 
 
 def selective_scan_pallas(

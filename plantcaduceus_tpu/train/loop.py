@@ -56,13 +56,18 @@ def run_training(
     ckpt: Optional[CheckpointManager] = None,
     wandb_run=None,
     tokens_per_step: int = 0,
+    profile_dir: Optional[str] = None,
 ) -> TrainState:
     """Run to max_steps (resuming from state.step). Returns final state."""
+    from plantcaduceus_tpu.utils.profiling import StepWindowProfiler
+
     start_step = int(state.step)
     monitor = SpeedMonitor()
     host0 = jax.process_index() == 0
+    profiler = StepWindowProfiler(profile_dir, start_step + 10, 3)
 
     for step in range(start_step, max_steps):
+        profiler.step(step)
         batch = next(train_iter)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = train_step(state, batch)
@@ -91,6 +96,7 @@ def run_training(
         if ckpt is not None:
             ckpt.save(step + 1, state)
 
+    profiler.close()
     if ckpt is not None:
         if ckpt.latest_step() != max_steps:
             ckpt.save(max_steps, state, force=True)

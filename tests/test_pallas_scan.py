@@ -84,6 +84,74 @@ def test_fused_model_path_matches_flip_path(rng):
                                rtol=5e-4, atol=5e-4)
 
 
+def test_manual_bwd_matches_autodiff(rng):
+    """Hand-written chunked backward (ops.scan_bwd) vs autodiff of the
+    sequential reference."""
+    G, B, L, D, N = 2, 2, 64, 16, 4
+    args = make_inputs(rng, G=G, B=B, L=L, D=D, N=N)
+
+    def loss_ref(*a):
+        y = selective_scan_sequential(*a[:6], dt_bias=a[6])
+        return jnp.sum(jnp.sin(y))
+
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+
+    from plantcaduceus_tpu.ops.scan_bwd import selective_scan_grads
+
+    y = selective_scan_sequential(*args[:6], dt_bias=args[6])
+    gy = jnp.cos(y)
+    got = selective_scan_grads(args[0], args[1], args[2], args[3], args[4],
+                               args[5], args[6], gy, chunk=16)
+    # order: dx, ddt_raw, dA, dBm, dCm, dDskip, ddt_bias
+    for g, w, name in zip(got, want, ["x", "dt", "A", "B", "C", "D", "dtb"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_bimamba_gated_bwd(rng):
+    """Fused bidirectional-gated op: value + grads vs reference composition."""
+    G, B, L, D, N, R = 2, 2, 64, 16, 4, 4
+    x = jnp.asarray(rng.standard_normal((G, B, L, D)), jnp.float32)
+    dt_lr = jnp.asarray(rng.standard_normal((G, B, L, R)) * 0.5, jnp.float32)
+    wdt = jnp.asarray(rng.standard_normal((G, R, D)) * 0.3, jnp.float32)
+    A = jnp.asarray(-np.exp(rng.standard_normal((G, D, N)) * 0.5), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((G, B, L, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((G, B, L, N)), jnp.float32)
+    Ds = jnp.asarray(rng.standard_normal((G, D)), jnp.float32)
+    dtb = jnp.asarray(rng.standard_normal((G, D)) * 0.3, jnp.float32)
+    z = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    args = (x, dt_lr, A, Bm, Cm, Ds, dtb, wdt, z)
+
+    def ref(*a):
+        x, dt_lr, A, Bm, Cm, Ds, dtb, wdt, z = a
+        dt = jnp.einsum("gblr,gri->gbli", dt_lr, wdt)
+        flip1 = lambda t: t.at[1].set(jnp.flip(t[1], axis=1))
+        y = selective_scan_sequential(flip1(x), flip1(dt), A, flip1(Bm),
+                                      flip1(Cm), Ds, dt_bias=dtb)
+        y = flip1(y)
+        return (y[0] + y[1]) * jax.nn.silu(z)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            y = pallas_scan.bimamba_scan_gated(*a, bl=32, bd=16, t_inner=1)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ref(*a)))
+
+    with pltpu.force_tpu_interpret_mode():
+        y_fused = pallas_scan.bimamba_scan_gated(*args, bl=32, bd=16)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(ref(*args)),
+                               rtol=2e-4, atol=2e-4)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    names = ["x", "dt_lr", "A", "B", "C", "D", "dtb", "wdt", "z"]
+    for g, w, name in zip(gf, gr, names):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=3e-3, atol=3e-4, err_msg=name)
+
+
 def test_pallas_bwd_matches_reference(rng):
     args = make_inputs(rng, G=1, B=1, L=64, D=16, N=4)
 
