@@ -116,7 +116,6 @@ def _batches(ids, labels, batch_size, shuffle=False, seed=0, repeat=False):
 def _build(args, task_type, num_labels):
     import jax
     import jax.numpy as jnp
-    import optax
 
     from plantcaduceus_tpu.parallel import mesh as meshlib
     from plantcaduceus_tpu.train import lora as lora_lib
@@ -133,9 +132,14 @@ def _build(args, task_type, num_labels):
         learning_rate=args.learning_rate, schedule="linear",
         warmup_steps=args.warmup_steps, total_steps=args.max_steps,
         weight_decay=args.weight_decay, grad_clip=1.0)
-    train_step, infer_fn = lora_lib.make_lora_train_step(
-        cfg, cfg_l, optimizer, mesh, params, task_type=task_type,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if getattr(args, "full_finetune", False):
+        train_step, infer_fn = lora_lib.make_full_finetune_step(
+            cfg, optimizer, mesh, task_type=task_type, dtype=dtype)
+    else:
+        train_step, infer_fn = lora_lib.make_lora_train_step(
+            cfg, cfg_l, optimizer, mesh, params, task_type=task_type,
+            dtype=dtype)
     return params, cfg, tok, mesh, cfg_l, optimizer, train_step, infer_fn, num_labels
 
 
@@ -172,9 +176,19 @@ def cmd_train(args):
     (params, cfg, tok, mesh, cfg_l, optimizer, train_step, infer_fn,
      num_labels) = _build(args, task_type, num_labels)
 
-    state = lora_lib.init_lora_state(
-        jax.random.PRNGKey(args.seed), params, cfg, cfg_l, num_labels,
-        optimizer)
+    if args.full_finetune:
+        from plantcaduceus_tpu.models import heads as heads_lib
+        import jax.numpy as jnp
+
+        head = heads_lib.init_head(jax.random.PRNGKey(args.seed + 9), cfg,
+                                   num_labels)
+        state = lora_lib.LoraTrainState(
+            params, head, optimizer.init((params, head)),
+            jnp.zeros((), jnp.int32))
+    else:
+        state = lora_lib.init_lora_state(
+            jax.random.PRNGKey(args.seed), params, cfg, cfg_l, num_labels,
+            optimizer)
 
     data = _batches(ids_tr, y_tr, args.train_batch_size, shuffle=True,
                     seed=args.seed, repeat=True)
@@ -193,12 +207,26 @@ def cmd_train(args):
             log.info("eval @ %d: %s", step + 1,
                      {k: round(v, 4) for k, v in m.items()})
         if (step + 1) % args.save_steps == 0 or step + 1 == args.max_steps:
-            lora_lib.save_adapter(
-                Path(args.output_dir) / f"checkpoint-{step+1}", state, cfg_l,
-                task_type, args.model_name)
-    lora_lib.save_adapter(Path(args.output_dir) / "final", state, cfg_l,
-                          task_type, args.model_name)
+            _save_state(args, Path(args.output_dir) / f"checkpoint-{step+1}",
+                        state, cfg_l, task_type)
+    _save_state(args, Path(args.output_dir) / "final", state, cfg_l, task_type)
     log.info("Saved adapter to %s/final", args.output_dir)
+
+
+def _save_state(args, path, state, cfg_l, task_type):
+    from plantcaduceus_tpu.train import lora as lora_lib
+
+    if args.full_finetune:
+        cfg_l = lora_lib.LoraConfig(r=0, alpha=0.0, dropout=0.0, targets=())
+    lora_lib.save_adapter(path, state, cfg_l, task_type, args.model_name)
+    if args.full_finetune:
+        import json
+        from pathlib import Path
+
+        meta_path = Path(path) / "adapter_config.json"
+        meta = json.loads(meta_path.read_text())
+        meta["full_finetune"] = True
+        meta_path.write_text(json.dumps(meta, indent=2))
 
 
 def _task_metrics(task_type, logits, labels, M):
@@ -216,10 +244,18 @@ def _load_for_eval(args):
 
     adapters, head, cfg_l, task_type, base = lora_lib.load_adapter(
         args.checkpoint_dir)
+    import json as _json
+    from pathlib import Path as _Path
+
+    meta = _json.loads(
+        (_Path(args.checkpoint_dir) / "adapter_config.json").read_text())
     model_name = args.model_name or base
     ns = argparse.Namespace(**vars(args))
     ns.model_name = model_name
-    ns.lora_r, ns.lora_alpha, ns.lora_dropout = cfg_l.r, cfg_l.alpha, cfg_l.dropout
+    ns.full_finetune = meta.get("full_finetune", False)
+    if not ns.full_finetune:
+        ns.lora_r, ns.lora_alpha, ns.lora_dropout = (cfg_l.r, cfg_l.alpha,
+                                                     cfg_l.dropout)
     num_labels = head["b"].shape[0]
     (params, cfg, tok, mesh, cfg_l2, optimizer, train_step, infer_fn,
      _) = _build(ns, task_type, num_labels)
@@ -312,6 +348,9 @@ def main(argv=None):
         sp.add_argument("--task-type", default="classification",
                         choices=["classification", "regression", "multi_label"])
         sp.add_argument("--num-labels", type=int, default=None)
+        sp.add_argument("--full-finetune", action="store_true",
+                        help="train all backbone params (FULL strategy) "
+                             "instead of LoRA adapters")
         sp.add_argument("--lora-r", type=int, default=8)
         sp.add_argument("--lora-alpha", type=float, default=32)
         sp.add_argument("--lora-dropout", type=float, default=0.1)

@@ -69,14 +69,6 @@ def make_embedder(args):
     return embed
 
 
-def cached_embeddings(embed, sequences, cache_path, key):
-    if os.path.exists(cache_path):
-        log.info("Found pre-computed embeddings, loading from %s", cache_path)
-        return np.load(cache_path)[key]
-    emb = embed(sequences)
-    return emb
-
-
 def train_xgb(train_emb, train_labels, valid_emb, valid_labels, seed):
     from plantcaduceus_tpu.downstream.gbm import GbmClassifier
 

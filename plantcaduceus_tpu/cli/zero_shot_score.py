@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from plantcaduceus_tpu.engine.runner import InferenceRunner
 from plantcaduceus_tpu.engine import zero_shot
-from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
 from plantcaduceus_tpu.parallel import mesh as meshlib
 from plantcaduceus_tpu.utils.model_loading import load_model_and_tokenizer
 from plantcaduceus_tpu.utils.platform import maybe_force_platform

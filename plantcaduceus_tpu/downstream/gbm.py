@@ -12,7 +12,6 @@ artifacts load through the xgboost path untouched.
 
 from __future__ import annotations
 
-import json
 import pickle
 from pathlib import Path
 

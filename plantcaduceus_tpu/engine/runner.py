@@ -9,7 +9,6 @@ padded to the fixed batch shape so XLA compiles exactly one executable per
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Iterator, Optional
 
 import jax

@@ -20,7 +20,6 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from plantcaduceus_tpu.engine.runner import InferenceRunner
-from plantcaduceus_tpu.io.fasta import FastaIndex
 from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
 from plantcaduceus_tpu.io.vcf import (
     ZERO_SHOT_INFO_HEADER,

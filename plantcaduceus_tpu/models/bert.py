@@ -13,7 +13,6 @@ the Caduceus path; exists for architecture-baseline parity.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Dict, Optional
 
 import jax

@@ -13,7 +13,6 @@ import logging
 from pathlib import Path
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from plantcaduceus_tpu.models.config import CaduceusConfig

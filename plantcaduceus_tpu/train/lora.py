@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from plantcaduceus_tpu.models import caduceus, heads
+from plantcaduceus_tpu.models import heads
 from plantcaduceus_tpu.models.config import CaduceusConfig
 
 DEFAULT_TARGETS = ("in_proj_x", "in_proj_z", "out_proj",
@@ -164,6 +164,74 @@ def init_lora_state(rng: jax.Array, base_params, cfg: CaduceusConfig,
     head = heads.init_head(k2, cfg, num_labels)
     opt_state = optimizer.init((adapters, head))
     return LoraTrainState(adapters, head, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_full_finetune_step(
+    cfg: CaduceusConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    task_type: str = "classification",
+    dtype=jnp.bfloat16,
+    remat: bool = True,
+):
+    """Full fine-tuning (reference FineTuningStrategy.FULL): every backbone
+    parameter trains alongside the head. Same shard_map/collective structure
+    as the LoRA step, with the base params in the trainable tuple."""
+    from plantcaduceus_tpu.parallel import mesh as meshlib
+
+    bspec = P(("data", "fsdp"))
+
+    def local_grads(trainable, batch):
+        def loss_fn(trainable):
+            params, head = trainable
+            logits = heads.sequence_logits(params, head, batch["input_ids"],
+                                           cfg, dtype=dtype, remat=remat)
+            local = heads.task_loss(logits, batch["labels"], task_type)
+            n_local = batch["labels"].shape[0]
+            n_global = jax.lax.psum(n_local, ("data", "fsdp"))
+            return local * n_local / n_global, logits
+
+        (local_obj, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, ("data", "fsdp")), grads)
+        return jax.lax.psum(local_obj, ("data", "fsdp")), logits, grads
+
+    def grad_fn(trainable, batch):
+        pspecs = jax.tree.map(lambda _: P(), trainable)
+        return jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(pspecs, {k: bspec for k in batch}),
+            out_specs=(P(), bspec, pspecs),
+            check_vma=False,
+        )(trainable, batch)
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
+    def _step(state, batch):
+        trainable = (state.adapters, state.head)  # adapters slot = params
+        loss, _, grads = grad_fn(trainable, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        params, head = optax.apply_updates(trainable, updates)
+        return LoraTrainState(params, head, opt_state, state.step + 1), {
+            "loss": loss}
+
+    def train_step(state, base_unused, batch, rng_unused=None):
+        # same call signature as the LoRA step (base/rng ignored)
+        return _step(state, batch)
+
+    @jax.jit
+    def infer_fn(state, base_unused, batch):
+        def local(trainable, ids):
+            params, head = trainable
+            return heads.sequence_logits(params, head, ids, cfg, dtype=dtype)
+
+        pspecs = jax.tree.map(lambda _: P(), (state.adapters, state.head))
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(pspecs, bspec), out_specs=bspec,
+            check_vma=False,
+        )((state.adapters, state.head), batch["input_ids"])
+
+    return train_step, infer_fn
 
 
 # ---------------------------------------------------------------------------

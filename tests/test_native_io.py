@@ -1,6 +1,5 @@
 """C++ libpcio vs the pure-Python FASTA path (skipped if no toolchain)."""
 
-import numpy as np
 import pytest
 
 from plantcaduceus_tpu.io import native

@@ -1,9 +1,6 @@
 """IO + pipeline CLIs: windows, VCF, format_vcf, mutagenesis simulate/downsample."""
 
-import subprocess
-import sys
 
-import numpy as np
 import pytest
 
 from plantcaduceus_tpu.io.fasta import FastaIndex, extract_window, read_fasta

@@ -1,6 +1,5 @@
 """Streaming pretrain dataset: shard conversion, host partitioning, batches."""
 
-import numpy as np
 import pytest
 
 from plantcaduceus_tpu.io.tokenizer import DnaTokenizer

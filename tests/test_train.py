@@ -4,7 +4,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
 from plantcaduceus_tpu.models import caduceus, heads
@@ -14,7 +13,7 @@ from plantcaduceus_tpu.train import data as data_lib
 from plantcaduceus_tpu.train import lora as lora_lib
 from plantcaduceus_tpu.train import step as step_lib
 from plantcaduceus_tpu.train.masking import MlmCollator, soft_mask_weights
-from plantcaduceus_tpu.train.optimizer import make_optimizer, make_schedule
+from plantcaduceus_tpu.train.optimizer import make_schedule
 
 TINY = dict(d_model=16, n_layer=2, vocab_size=16, d_state=4, expand=2, d_conv=4)
 
