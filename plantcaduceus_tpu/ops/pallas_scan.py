@@ -53,11 +53,13 @@ DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 
 def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
                 C_ref, *rest, t_inner: int, reverse: bool,
-                fuse_dtproj: bool, combine: bool):
+                fuse_dtproj: bool, combine: bool, emit_hb: bool):
     if combine:
-        yprev_ref, z_ref, y_ref, hb_ref, h_scr = rest
-    else:
+        yprev_ref, z_ref, *rest = rest
+    if emit_hb:
         y_ref, hb_ref, h_scr = rest
+    else:
+        y_ref, h_scr = rest
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -85,8 +87,9 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     else:
         dt = dt_ref[...].astype(jnp.float32)                  # [bb, bl, bd]
 
-    # chunk-entry state (in processing order) for the backward pass
-    hb_ref[:, 0] = jnp.swapaxes(h_scr[...], 1, 2)  # [bb, bd, N]
+    if emit_hb:
+        # chunk-entry state (in processing order) for the backward pass
+        hb_ref[:, 0] = jnp.swapaxes(h_scr[...], 1, 2)  # [bb, bd, N]
 
     dtp = jax.nn.softplus(dt + dtb[None, None, :])           # [bb, bl, bd]
     a = jnp.exp(dtp[:, :, None, :] * At[None, None])         # [bb, bl, N, bd]
@@ -149,7 +152,7 @@ def _pick_bb(R: int, B: int, G: int, bb: int) -> int:
 
 def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
                        bl, bd, t_inner, bb, reverse,
-                       y_prev=None, z=None):
+                       y_prev=None, z=None, emit_hb=True):
     """One pallas_call over rows of (possibly several) groups sharing a
     static ``reverse`` flag. Shapes as in selective_scan but G may be 1.
     When ``y_prev``/``z`` are given ([G, B, L, D]), the kernel emits
@@ -186,7 +189,8 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         return ((r * bb) // B, d, 0)
 
     kernel = functools.partial(_fwd_kernel, t_inner=t_inner, reverse=reverse,
-                               fuse_dtproj=fuse_dtproj, combine=combine)
+                               fuse_dtproj=fuse_dtproj, combine=combine,
+                               emit_hb=emit_hb)
     dt_cols = Rk if fuse_dtproj else bd
     dt_map = ((lambda r, d, l: (r, lmap(l), 0)) if fuse_dtproj
               else (lambda r, d, l: (r, lmap(l), d)))
@@ -208,24 +212,220 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         in_specs += [pl.BlockSpec((bb, bl, bd), xmap),             # y_prev
                      pl.BlockSpec((bb, bl, bd), xmap)]             # z
         operands += [y_prev.reshape(R, L, D), z.reshape(R, L, D)]
-    y, hb = pl.pallas_call(
+    out_specs = [pl.BlockSpec((bb, bl, bd), xmap)]                 # y
+    out_shape = [jax.ShapeDtypeStruct((R, L, D), x.dtype)]
+    if emit_hb:
+        out_specs.append(
+            pl.BlockSpec((bb, 1, bd, N), lambda r, d, l: (r, l, d, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((R, nl, D, N), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((bb, bl, bd), xmap),                      # y
-            pl.BlockSpec((bb, 1, bd, N), lambda r, d, l: (r, l, d, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, L, D), x.dtype),
-            jax.ShapeDtypeStruct((R, nl, D, N), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bb, N, bd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(*operands)
+    y = res[0]
+    hb = res[1] if emit_hb else None
     return y.reshape(G, B, L, D), hb
+
+
+def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
+                C_ref, gy_ref, hb_ref,
+                dx_ref, ddt_ref, dB_ref, dC_ref, dA_ref, ddtb_ref, dD_ref,
+                dW_ref, g_scr, *, fuse_dtproj: bool):
+    """Adjoint of the forward-direction scan for one (row, time-chunk,
+    d-block) grid step. Grid (R, nl, nd): d innermost (dB/dC/ddt_lr blocks
+    accumulate over it), time chunks processed in REVERSE via the index
+    maps. Forward states recompute chunk-locally from the boundary states
+    ``hb`` the forward kernel emitted; the state cotangent carries across
+    chunks in VMEM scratch (one [N, bd] slot per d-block)."""
+    ri = pl.program_id(0)
+    li = pl.program_id(1)
+    di = pl.program_id(2)
+
+    first_step = (ri == 0) & (li == 0) & (di == 0)
+
+    @pl.when(first_step)
+    def _():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        ddtb_ref[...] = jnp.zeros_like(ddtb_ref)
+        dD_ref[...] = jnp.zeros_like(dD_ref)
+        dW_ref[...] = jnp.zeros_like(dW_ref)
+
+    @pl.when(li == 0)
+    def _():
+        g_scr[di] = jnp.zeros_like(g_scr[di])
+
+    x = x_ref[0].astype(jnp.float32)          # [bl, bd]
+    Bm = B_ref[0].astype(jnp.float32)         # [bl, N]
+    Cm = C_ref[0].astype(jnp.float32)         # [bl, N]
+    gy = gy_ref[0].astype(jnp.float32)        # [bl, bd]
+    At = A_ref[0].astype(jnp.float32).T       # [N, bd]
+    dtb = dtb_ref[0, 0].astype(jnp.float32)   # [bd]
+    dsk = Dsk_ref[0, 0].astype(jnp.float32)   # [bd]
+    h_in = hb_ref[0, 0].astype(jnp.float32).T  # [N, bd]
+
+    bl, bd = x.shape
+    N = Bm.shape[-1]
+
+    if fuse_dtproj:
+        dt_lr = dt_ref[0].astype(jnp.float32)               # [bl, Rk]
+        wdt = wdt_ref[0].astype(jnp.float32)                # [Rk, bd]
+        dt_raw = jax.lax.dot_general(
+            dt_lr, wdt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        dt_raw = dt_ref[0].astype(jnp.float32)              # [bl, bd]
+
+    pre = dt_raw + dtb[None, :]
+    dtp = jax.nn.softplus(pre)
+    sig = jax.lax.logistic(pre)
+
+    a = jnp.exp(dtp[:, None, :] * At[None])                 # [bl, N, bd]
+    b = (dtp * x)[:, None, :] * Bm[..., None]               # [bl, N, bd]
+
+    # forward state recompute within the chunk
+    hs = []
+    h_cur = h_in
+    for t in range(bl):
+        h_cur = a[t] * h_cur + b[t]
+        hs.append(h_cur)
+    h = jnp.stack(hs)                                       # [bl, N, bd]
+    h_prev = jnp.concatenate([h_in[None], h[:-1]], axis=0)
+
+    # adjoint reverse recurrence: g[t] = C[t]⊗gy[t] + a[t+1] g[t+1]
+    gs = []
+    g_next = g_scr[di]                                      # [N, bd]
+    for t in range(bl - 1, -1, -1):
+        g_t = Cm[t][:, None] * gy[t][None, :] + g_next
+        gs.append(g_t)
+        g_next = a[t] * g_t
+    g_scr[di] = g_next
+    g = jnp.stack(gs[::-1])                                 # [bl, N, bd]
+
+    da_scaled = g * h_prev * a
+    sum_gB = jnp.sum(g * Bm[..., None], axis=1)             # [bl, bd]
+    ddtp = jnp.sum(da_scaled * At[None], axis=1) + sum_gB * x
+    ddt_full = ddtp * sig                                   # [bl, bd]
+
+    dx_ref[0] = (sum_gB * dtp + gy * dsk).astype(dx_ref.dtype)
+
+    # batched (over t) contractions over d: explicit mul+reduce — Mosaic has
+    # no lowering for batched dot_general inside kernels
+    dB_blk = jnp.sum(g * (dtp * x)[:, None, :], axis=2)     # [bl, N]
+    dC_blk = jnp.sum(h * gy[:, None, :], axis=2)            # [bl, N]
+    if fuse_dtproj:
+        ddt_blk = jax.lax.dot_general(
+            ddt_full, wdt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [bl, Rk]
+    else:
+        ddt_blk = ddt_full
+
+    @pl.when(di == 0)
+    def _():
+        dB_ref[0] = dB_blk.astype(dB_ref.dtype)
+        dC_ref[0] = dC_blk.astype(dC_ref.dtype)
+        if fuse_dtproj:
+            ddt_ref[0] = ddt_blk.astype(ddt_ref.dtype)
+
+    @pl.when(di != 0)
+    def _():
+        dB_ref[0] += dB_blk.astype(dB_ref.dtype)
+        dC_ref[0] += dC_blk.astype(dC_ref.dtype)
+        if fuse_dtproj:
+            ddt_ref[0] += ddt_blk.astype(ddt_ref.dtype)
+
+    if not fuse_dtproj:
+        ddt_ref[0] = ddt_blk.astype(ddt_ref.dtype)
+
+    # full-run accumulators (constant-index outputs stay VMEM-resident)
+    dA_ref[pl.ds(di * bd, bd), :] += jnp.sum(
+        da_scaled * dtp[:, None, :], axis=0).T              # [bd, N]
+    ddtb_ref[0, pl.ds(di * bd, bd)] += jnp.sum(ddt_full, axis=0)
+    dD_ref[0, pl.ds(di * bd, bd)] += jnp.sum(gy * x, axis=0)
+    if fuse_dtproj:
+        dW_ref[:, pl.ds(di * bd, bd)] += jax.lax.dot_general(
+            dt_lr, ddt_full, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [Rk, bd]
+
+
+def _pallas_bwd_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
+                      gy, hb, bl, bd, fuse_dtproj):
+    """Backward for one forward-direction group. Shapes: x/gy [1,B,L,D];
+    dt [1,B,L,Rk|D]; hb [B, nl, D, N] matching the bl chunking."""
+    _, B, L, D = x.shape
+    N = A.shape[-1]
+    Rk = dt.shape[-1]
+    bl = min(bl, L)
+    bd = min(bd, D)
+    nl, nd = L // bl, D // bd
+    assert hb.shape[1] == nl, (hb.shape, nl)
+
+    xf = x.reshape(B, L, D)
+    dtf = dt.reshape(B, L, Rk)
+    Bf = Bm.reshape(B, L, N)
+    Cf = Cm.reshape(B, L, N)
+    gyf = gy.reshape(B, L, D)
+    wdt = dt_proj_w if fuse_dtproj else jnp.zeros((1, 1, D), jnp.float32)
+
+    grid = (B, nl, nd)
+    lrev = lambda l: nl - 1 - l
+    xmap = lambda r, l, d: (r, lrev(l), d)
+    lmapN = lambda r, l, d: (r, lrev(l), 0)
+    dt_cols = Rk if fuse_dtproj else bd
+    dt_map = lmapN if fuse_dtproj else xmap
+
+    kernel = functools.partial(_bwd_kernel, fuse_dtproj=fuse_dtproj)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # dt_bias
+            pl.BlockSpec((1, bd, N), lambda r, l, d: (0, d, 0)),   # A
+            pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # Dskip
+            pl.BlockSpec((1, wdt.shape[1], bd),
+                         lambda r, l, d: (0, 0, d)),               # W_dt
+            pl.BlockSpec((1, bl, bd), xmap),                       # x
+            pl.BlockSpec((1, bl, dt_cols), dt_map),                # dt(_lr)
+            pl.BlockSpec((1, bl, N), lmapN),                       # B
+            pl.BlockSpec((1, bl, N), lmapN),                       # C
+            pl.BlockSpec((1, bl, bd), xmap),                       # gy
+            pl.BlockSpec((1, 1, bd, N), lambda r, l, d: (r, lrev(l), d, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bl, bd), xmap),                       # dx
+            pl.BlockSpec((1, bl, dt_cols), dt_map),                # ddt
+            pl.BlockSpec((1, bl, N), lmapN),                       # dB
+            pl.BlockSpec((1, bl, N), lmapN),                       # dC
+            pl.BlockSpec((D, N), lambda r, l, d: (0, 0)),          # dA acc
+            pl.BlockSpec((1, D), lambda r, l, d: (0, 0)),          # ddtb acc
+            pl.BlockSpec((1, D), lambda r, l, d: (0, 0)),          # dD acc
+            pl.BlockSpec((wdt.shape[1], D), lambda r, l, d: (0, 0)),  # dW acc
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, dt_cols), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((D, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((wdt.shape[1], D), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nd, N, bd), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(dt_bias[:, None, :], A, Dskip[:, None, :], wdt,
+      xf, dtf, Bf, Cf, gyf, hb)
+    dx, ddt, dB, dC, dA, ddtb, dD, dW = outs
+    return (dx[None], ddt[None], dA[None], dB[None], dC[None],
+            dD.reshape(1, D), ddtb.reshape(1, D), dW[None])
 
 
 def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
@@ -234,7 +434,7 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     if directions is None or not any(directions):
         return _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias,
                                   dt_proj_w, bl, bd, t_inner, bb,
-                                  reverse=False)
+                                  reverse=False, emit_hb=False)
     # Split groups by direction (reverse is a static kernel property).
     ys = []
     for g in range(G):
@@ -242,7 +442,8 @@ def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         y_g, _ = _pallas_scan_group(
             x[g : g + 1], dt[g : g + 1], A[g : g + 1], Bm[g : g + 1],
             Cm[g : g + 1], Dskip[g : g + 1], dt_bias[g : g + 1],
-            sel(dt_proj_w), bl, bd, t_inner, bb, reverse=bool(directions[g]))
+            sel(dt_proj_w), bl, bd, t_inner, bb, reverse=bool(directions[g]),
+            emit_hb=False)
         ys.append(y_g)
     return jnp.concatenate(ys, axis=0), None
 
@@ -315,17 +516,54 @@ def _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     return y
 
 
+TRAIN_BL = 128  # chunking under grad: fwd hb chunks must match the bwd
+                # kernel's VMEM budget (4 live [bl, N, bd] fp32 tensors)
+
+
 def _scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
                  bl, bd, t_inner, bb, directions, has_dtw):
-    y = _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
-                 bl, bd, t_inner, bb, directions, has_dtw)
-    return y, (x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w)
+    # Under differentiation: per-group calls at the training chunk size so
+    # boundary states feed the Pallas backward.
+    G = x.shape[0]
+    dtw = dt_proj_w if has_dtw else None
+    sel = lambda t: (lambda g: t[g : g + 1])
+    ys, hbs = [], []
+    for g in range(G):
+        rev = bool(directions[g]) if directions is not None else False
+        y_g, hb_g = _pallas_scan_group(
+            x[g:g + 1], dt[g:g + 1], A[g:g + 1], Bm[g:g + 1], Cm[g:g + 1],
+            Dskip[g:g + 1], dt_bias[g:g + 1],
+            (dtw[g:g + 1] if dtw is not None else None),
+            TRAIN_BL, bd, 1, bb, reverse=rev)
+        ys.append(y_g)
+        hbs.append(hb_g)
+    y = jnp.concatenate(ys, axis=0)
+    return y, (x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, tuple(hbs))
 
 
 def _scan_op_bwd(bl, bd, t_inner, bb, directions, has_dtw, res, gy):
-    x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w = res
-    return _manual_grads(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, gy,
-                         directions, has_dtw)
+    x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, hbs = res
+    G = x.shape[0]
+    parts = []
+    for g in range(G):
+        rev = bool(directions[g]) if directions is not None else False
+        flip = (lambda t: jnp.flip(t, axis=2)) if rev else (lambda t: t)
+        # hb is stored in processing order == flipped time coords for
+        # reversed groups, so it pairs directly with the flipped inputs.
+        out = _pallas_bwd_group(
+            flip(x[g:g + 1]), flip(dt[g:g + 1]), A[g:g + 1],
+            flip(Bm[g:g + 1]), flip(Cm[g:g + 1]), Dskip[g:g + 1],
+            dt_bias[g:g + 1],
+            dt_proj_w[g:g + 1] if has_dtw else None,
+            flip(gy[g:g + 1]), hbs[g], TRAIN_BL, bd, has_dtw)
+        dx, ddt, dA, dB, dC, dD, ddtb, dW = out
+        parts.append((flip(dx), flip(ddt), dA, flip(dB), flip(dC),
+                      dD, ddtb, dW))
+    cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
+    dx, ddt, dA, dB, dC, dD, ddtb, dW = (cat(i) for i in range(8))
+    return (dx.astype(x.dtype), ddt.astype(dt.dtype), dA,
+            dB.astype(Bm.dtype), dC.astype(Cm.dtype), dD, ddtb,
+            dW if has_dtw else jnp.zeros_like(dt_proj_w))
 
 
 _scan_op.defvjp(_scan_op_fwd, _scan_op_bwd)
@@ -336,11 +574,12 @@ def _bimamba_op(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
                 bl, bd, t_inner, bb):
     y0, _ = _pallas_scan_group(
         x[0:1], dt_lr[0:1], A[0:1], Bm[0:1], Cm[0:1], Dskip[0:1],
-        dt_bias[0:1], dt_proj_w[0:1], bl, bd, t_inner, bb, reverse=False)
+        dt_bias[0:1], dt_proj_w[0:1], bl, bd, t_inner, bb, reverse=False,
+        emit_hb=False)
     y, _ = _pallas_scan_group(
         x[1:2], dt_lr[1:2], A[1:2], Bm[1:2], Cm[1:2], Dskip[1:2],
         dt_bias[1:2], dt_proj_w[1:2], bl, bd, t_inner, bb, reverse=True,
-        y_prev=y0, z=z[None])
+        y_prev=y0, z=z[None], emit_hb=False)
     return y[0]
 
 
@@ -354,13 +593,13 @@ def _bimamba_op_fwd(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
                     bl, bd, t_inner, bb):
     # Under differentiation: run the two direction scans un-combined so the
     # pre-gate sum (needed for dz) is available as a residual, alongside the
-    # kernel's chunk-boundary states for the chunk-local backward.
+    # kernel's chunk-boundary states for the chunk-local Pallas backward.
     y0, hb0 = _pallas_scan_group(
         x[0:1], dt_lr[0:1], A[0:1], Bm[0:1], Cm[0:1], Dskip[0:1],
-        dt_bias[0:1], dt_proj_w[0:1], bl, bd, t_inner, bb, reverse=False)
+        dt_bias[0:1], dt_proj_w[0:1], TRAIN_BL, bd, 1, bb, reverse=False)
     y1, hb1 = _pallas_scan_group(
         x[1:2], dt_lr[1:2], A[1:2], Bm[1:2], Cm[1:2], Dskip[1:2],
-        dt_bias[1:2], dt_proj_w[1:2], bl, bd, t_inner, bb, reverse=True)
+        dt_bias[1:2], dt_proj_w[1:2], TRAIN_BL, bd, 1, bb, reverse=True)
     y_sum = (y0[0] + y1[0]).astype(jnp.float32)
     y = (y_sum * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
     return y, (x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
@@ -379,13 +618,21 @@ def _bimamba_op_bwd(bl, bd, t_inner, bb, res, gy):
     gy_scan = (gy * silu).astype(x.dtype)
     gy_scan = jnp.stack([gy_scan, gy_scan])  # same cotangent, both directions
 
-    # hb for the reversed group is stored in processing (reversed) order —
-    # matching the flipped coordinates _manual_grads uses for that group.
-    dx, ddt, dA, dBm, dCm, dD, ddtb, dW = _manual_grads(
-        x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, gy_scan,
-        directions=(False, True), has_dtw=True,
-        hb_list=[hb0, hb1], chunk=min(bl, x.shape[2]))
-    return dx, ddt, dA, dBm, dCm, dD, ddtb, dW, dz
+    parts = []
+    for g, hb in ((0, hb0), (1, hb1)):
+        flip = (lambda t: jnp.flip(t, axis=2)) if g == 1 else (lambda t: t)
+        out = _pallas_bwd_group(
+            flip(x[g:g + 1]), flip(dt_lr[g:g + 1]), A[g:g + 1],
+            flip(Bm[g:g + 1]), flip(Cm[g:g + 1]), Dskip[g:g + 1],
+            dt_bias[g:g + 1], dt_proj_w[g:g + 1],
+            flip(gy_scan[g:g + 1]), hb, TRAIN_BL, bd, True)
+        dx, ddt, dA, dB, dC, dD, ddtb, dW = out
+        parts.append((flip(dx), flip(ddt), dA, flip(dB), flip(dC),
+                      dD, ddtb, dW))
+    cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
+    dx, ddt, dA, dBm, dCm, dD, ddtb, dW = (cat(i) for i in range(8))
+    return (dx.astype(x.dtype), ddt.astype(dt_lr.dtype), dA,
+            dBm.astype(Bm.dtype), dCm.astype(Cm.dtype), dD, ddtb, dW, dz)
 
 
 _bimamba_op.defvjp(_bimamba_op_fwd, _bimamba_op_bwd)

@@ -132,8 +132,7 @@ def test_bimamba_gated_bwd(rng):
         return (y[0] + y[1]) * jax.nn.silu(z)
 
     def loss_fused(*a):
-        with pltpu.force_tpu_interpret_mode():
-            y = pallas_scan.bimamba_scan_gated(*a, bl=32, bd=16, t_inner=1)
+        y = pallas_scan.bimamba_scan_gated(*a, bl=32, bd=16, t_inner=1)
         return jnp.sum(jnp.sin(y))
 
     def loss_ref(*a):
@@ -144,7 +143,8 @@ def test_bimamba_gated_bwd(rng):
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(ref(*args)),
                                rtol=2e-4, atol=2e-4)
 
-    gf = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
     gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
     names = ["x", "dt_lr", "A", "B", "C", "D", "dtb", "wdt", "z"]
     for g, w, name in zip(gf, gr, names):
@@ -156,16 +156,16 @@ def test_pallas_bwd_matches_reference(rng):
     args = make_inputs(rng, G=1, B=1, L=64, D=16, N=4)
 
     def loss_pallas(*a):
-        with pltpu.force_tpu_interpret_mode():
-            y = pallas_scan.selective_scan_pallas(
-                *a[:6], dt_bias=a[6], bl=64, bd=16, t_inner=16)
+        y = pallas_scan.selective_scan_pallas(
+            *a[:6], dt_bias=a[6], bl=64, bd=16, t_inner=16)
         return jnp.sum(y * y)
 
     def loss_ref(*a):
         y = selective_scan_sequential(*a[:6], dt_bias=a[6])
         return jnp.sum(y * y)
 
-    gp = jax.grad(loss_pallas, argnums=tuple(range(7)))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=tuple(range(7)))(*args)
     gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
     for p, r in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r),
