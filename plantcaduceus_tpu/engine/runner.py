@@ -56,8 +56,10 @@ class InferenceRunner:
             def local_fwd(params, ids):
                 # shard_map rather than GSPMD because the Pallas scan has no
                 # SPMD partitioning rule; batch rows are device-local.
-                out = caduceus.forward(params, ids, cfg, dtype=dtype,
-                                       output_hidden_states=want_hidden)
+                out = caduceus.forward(
+                    params, ids, cfg, dtype=dtype,
+                    output_hidden_states=want_hidden,
+                    fused_inference=jax.default_backend() == "tpu")
                 res = {"logits": out["logits"].astype(jnp.float32)}
                 if want_hidden:
                     res["hidden_states"] = out["hidden_states"].astype(jnp.float32)

@@ -219,7 +219,8 @@ _tp_boundary.defvjp(_tp_boundary_fwd, _tp_boundary_bwd)
 
 
 def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
-                tp_axis: Optional[str] = None) -> jax.Array:
+                tp_axis: Optional[str] = None,
+                fused_inference: bool = False) -> jax.Array:
     """One (Bi)Mamba mixer over ``x: [B, L, d]`` (B may include folded
     streams). ``p`` holds a single layer's parameters (no n_layer axis).
 
@@ -247,6 +248,24 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
     xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
     z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
+
+    if (fused_inference and fused and tp_axis is None and xi.shape[0] == 1
+            and cfg.bidirectional_strategy == "add"):
+        # Whole-mixer-interior kernel (conv + x_proj + dt + scan fused,
+        # forward-only): one pallas_call per direction, VMEM-resident
+        # intermediates. See ops/pallas_mixer.py.
+        from plantcaduceus_tpu.ops.pallas_mixer import mixer_scan_fused
+
+        A_neg = -jnp.exp(p["A_log"])
+        ys = []
+        for g in range(G):
+            ys.append(mixer_scan_fused(
+                xi[0], p["conv_w"][g], p["conv_b"][g],
+                p["x_proj_dt"][g], p["x_proj_B"][g], p["x_proj_C"][g],
+                p["dt_proj_w"][g], p["dt_proj_b"][g], A_neg[g], p["D"][g],
+                reverse=(g == 1)))
+        y_sum = (ys[0] + ys[1] if G == 2 else ys[0]) * jax.nn.silu(z[0])
+        return _maybe_psum(y_sum @ p["out_proj"][0].astype(cdtype), tp_axis)
 
     conv_w = p["conv_w"].astype(cdtype)
     conv_b = p["conv_b"].astype(cdtype)
@@ -336,7 +355,7 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 
 def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
              dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
-             remat: bool = False) -> jax.Array:
+             remat: bool = False, fused_inference: bool = False) -> jax.Array:
     """Run embedding + n_layer blocks + final norm.
 
     Returns the *working-frame* hidden states ``[S*B, L, d]`` where S=2 when
@@ -355,7 +374,8 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
 
     def block_fn(res, lp):
         normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
-        out = mamba_mixer(lp, normed, cfg, tp_axis=tp_axis)
+        out = mamba_mixer(lp, normed, cfg, tp_axis=tp_axis,
+                          fused_inference=fused_inference)
         return res + out.astype(res.dtype), None
 
     if remat:
@@ -407,11 +427,14 @@ def forward(
     output_hidden_states: bool = False,
     tp_axis: Optional[str] = None,
     remat: bool = False,
+    fused_inference: bool = False,
 ) -> Dict[str, jax.Array]:
     """Full masked-LM forward. Returns dict with ``logits`` and optionally
-    ``hidden_states`` (final layer only — the entry the reference reads)."""
+    ``hidden_states`` (final layer only — the entry the reference reads).
+    ``fused_inference`` enables the forward-only whole-mixer kernel (no
+    gradients; the inference engine sets it)."""
     h_work = backbone(params, input_ids, cfg, dtype=dtype, tp_axis=tp_axis,
-                      remat=remat)
+                      remat=remat, fused_inference=fused_inference)
     out = {"logits": lm_logits(params, h_work, cfg)}
     if output_hidden_states:
         out["hidden_states"] = readout_hidden(h_work, cfg)

@@ -1,0 +1,209 @@
+"""Fused Mamba-mixer kernel: conv + x_proj + dt_proj + selective scan.
+
+One pallas_call per direction runs the whole mixer interior, eliminating the
+HBM round-trips of the decomposed path (conv output, dt/B/C projections and
+scan input each materialised ~[rows, L, d_inner] tensors — ~2 GB/layer at
+l20 batch 128):
+
+  phase 0 (per d-block): causal/anticausal depthwise conv + SiLU on the
+      incoming x-projection, conv halo carried across L-chunks in scratch;
+      the conv output parks in a VMEM scratch and its contribution to the
+      x_proj outputs accumulates: dbc += xg_d @ [W_dt | W_B | W_C]_d  (MXU).
+  phase 1 (per d-block): dt = dbc_dt @ W_dtproj (MXU) + softplus + exp
+      discretisation, then the sequential selective scan with the fp32
+      carry, C-contraction and D-skip — identical math to
+      ops.pallas_scan's forward.
+
+Grid is (rows, L-chunks, phase, d-blocks); the phase-0 x input block and the
+phase-1 y output block use index maps that "park" on their previous block
+during the opposite phase so no redundant DMA or garbage write-back occurs.
+
+Not used under tensor parallelism (the x_proj contraction would need a
+cross-shard psum mid-kernel); the decomposed path remains for that and for
+the backward (this kernel is forward/inference-only — under differentiation
+the custom VJP falls back to the decomposed ops, whose Pallas backward is
+already chunk-local).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEF_BL = 256
+DEF_BD = 256
+
+
+def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
+                  wdt_ref, dtb_ref, A_ref, Dsk_ref, xi_ref,
+                  y_ref, xg_scr, dtlr_scr, B_scr, C_scr, halo_scr, h_scr,
+                  *, reverse: bool, K: int, Rk: int, N: int):
+    li = pl.program_id(1)
+    phase = pl.program_id(2)
+    di = pl.program_id(3)
+    nl = pl.num_programs(1)
+
+    @pl.when((li == 0) & (phase == 0))
+    def _():
+        h_scr[di] = jnp.zeros_like(h_scr[di])
+        halo_scr[di] = jnp.zeros_like(halo_scr[di])
+
+    @pl.when((phase == 0) & (di == 0))
+    def _():
+        dtlr_scr[...] = jnp.zeros_like(dtlr_scr)
+        B_scr[...] = jnp.zeros_like(B_scr)
+        C_scr[...] = jnp.zeros_like(C_scr)
+
+    @pl.when(phase == 0)
+    def _conv_and_project():
+        xi = xi_ref[0].astype(jnp.float32)                  # [bl, bd]
+        bl, bd = xi.shape
+        w = convw_ref[0].astype(jnp.float32)                # [8, bd] row taps
+        b = convb_ref[0, 0].astype(jnp.float32)             # [bd]
+        # halo rows are stored 8-sublane aligned (unaligned dynamic-index
+        # stores lower to unsupported gathers); only K-1 rows are live.
+        halo8 = halo_scr[di]                                # [8, bd]
+        if reverse:
+            # anticausal: y[t] = sum_j w[K-1-j] x[t+j]; chunks arrive
+            # right-to-left so the halo holds the next chunk's first rows.
+            ext = jnp.concatenate([xi, halo8[: K - 1]], axis=0)
+            acc = b[None, :]
+            for j in range(K):
+                acc = acc + ext[j : j + bl] * w[K - 1 - j][None, :]
+            halo_scr[di] = xi[:8]
+        else:
+            ext = jnp.concatenate([halo8[8 - (K - 1):], xi], axis=0)
+            acc = b[None, :]
+            for k in range(K):
+                acc = acc + ext[k : k + bl] * w[k][None, :]
+            halo_scr[di] = xi[bl - 8:]
+        xg = jax.nn.silu(acc)                               # [bl, bd]
+        xg_scr[di] = xg
+        dot = lambda w: jax.lax.dot_general(
+            xg, w.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dtlr_scr[...] += dot(wdtlr_ref[0])
+        B_scr[...] += dot(wB_ref[0])
+        C_scr[...] += dot(wC_ref[0])
+
+    @pl.when(phase == 1)
+    def _scan():
+        xg = xg_scr[di]                                     # [bl, bd]
+        bl, bd = xg.shape
+        dt_lr = dtlr_scr[...]
+        Bm = B_scr[...]                                     # [bl, N]
+        Cm = C_scr[...]
+        wdt = wdt_ref[0].astype(jnp.float32)                # [Rk, bd]
+        dtb = dtb_ref[0, 0].astype(jnp.float32)
+        At = A_ref[0].astype(jnp.float32).T                 # [N, bd]
+        dsk = Dsk_ref[0, 0].astype(jnp.float32)
+
+        dt = jax.lax.dot_general(
+            dt_lr, wdt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dtp = jax.nn.softplus(dt + dtb[None, :])
+        a = jnp.exp(dtp[:, None, :] * At[None])             # [bl, N, bd]
+        bv = (dtp * xg)[:, None, :] * Bm[..., None]
+
+        h0 = h_scr[di]
+        steps = range(bl)
+        if reverse:
+            steps = reversed(list(steps))
+        hs = []
+        for t in steps:
+            h0 = a[t] * h0 + bv[t]
+            hs.append(h0)
+        h_scr[di] = h0
+        if reverse:
+            hs = hs[::-1]
+        h = jnp.stack(hs)                                   # [bl, N, bd]
+        y = jnp.sum(h * Cm[:, :, None], axis=1) + xg * dsk[None, :]
+        y_ref[0] = y.astype(y_ref.dtype)
+
+
+def mixer_scan_fused(
+    xi: jax.Array,       # [B, L, D] pre-conv x-projection (one direction)
+    conv_w: jax.Array,   # [D, K]
+    conv_b: jax.Array,   # [D]
+    w_dtlr: jax.Array,   # [D, Rk]
+    w_B: jax.Array,      # [D, N]
+    w_C: jax.Array,      # [D, N]
+    dt_proj_w: jax.Array,  # [Rk, D]
+    dt_bias: jax.Array,  # [D]
+    A: jax.Array,        # [D, N]
+    Dskip: jax.Array,    # [D]
+    reverse: bool = False,
+    bl: int = DEF_BL,
+    bd: int = DEF_BD,
+) -> jax.Array:
+    """Forward-only fused mixer interior for one scan direction."""
+    B, L, D = xi.shape
+    N = w_B.shape[-1]
+    Rk = w_dtlr.shape[-1]
+    K = conv_w.shape[-1]
+    bl = min(bl, L)
+    bd = min(bd, D)
+    if L % bl or D % bd:
+        raise ValueError(f"shape not tileable: L={L} bl={bl} D={D} bd={bd}")
+    nl, nd = L // bl, D // bd
+
+    # conv taps as 8-sublane-aligned rows (lane-dim tap selection lowers
+    # to an unsupported gather)
+    conv_w_rows = jnp.zeros((8, D), jnp.float32).at[:K].set(
+        conv_w.T.astype(jnp.float32))
+
+    def lmap(l):
+        return (nl - 1 - l) if reverse else l
+
+    def ximap(b, l, p, d):
+        # park on the last phase-0 block during phase 1 (no refetch)
+        return (b, lmap(l), jnp.where(p == 0, d, nd - 1))
+
+    def ymap(b, l, p, d):
+        # park on the previous phase-1 block during phase 0 (no writeback)
+        prev_l = lmap(jnp.maximum(l - 1, 0))
+        first = (l == 0) & (p == 0)
+        return (b,
+                jnp.where(p == 1, lmap(l), jnp.where(first, lmap(0), prev_l)),
+                jnp.where(p == 1, d, jnp.where(first, 0, nd - 1)))
+
+    dmap = lambda b, l, p, d: (0, d)
+    dmap3 = lambda b, l, p, d: (0, 0, d)
+
+    kernel = functools.partial(_mixer_kernel, reverse=reverse, K=K, Rk=Rk, N=N)
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, nl, 2, nd),
+        in_specs=[
+            pl.BlockSpec((1, 8, bd), lambda b, l, p, d: (0, 0, d)),   # conv_w
+            pl.BlockSpec((1, 1, bd), dmap3),                          # conv_b
+            pl.BlockSpec((1, bd, Rk), lambda b, l, p, d: (0, d, 0)),  # w_dtlr
+            pl.BlockSpec((1, bd, N), lambda b, l, p, d: (0, d, 0)),   # w_B
+            pl.BlockSpec((1, bd, N), lambda b, l, p, d: (0, d, 0)),   # w_C
+            pl.BlockSpec((1, Rk, bd), lambda b, l, p, d: (0, 0, d)),  # dt_proj
+            pl.BlockSpec((1, 1, bd), dmap3),                          # dt_bias
+            pl.BlockSpec((1, bd, N), lambda b, l, p, d: (0, d, 0)),   # A
+            pl.BlockSpec((1, 1, bd), dmap3),                          # Dskip
+            pl.BlockSpec((1, bl, bd), ximap),                         # xi
+        ],
+        out_specs=pl.BlockSpec((1, bl, bd), ymap),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), xi.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nd, bl, bd), jnp.float32),       # xg (conv out)
+            pltpu.VMEM((bl, Rk), jnp.float32),           # dt_lr accumulator
+            pltpu.VMEM((bl, N), jnp.float32),            # B accumulator
+            pltpu.VMEM((bl, N), jnp.float32),            # C accumulator
+            pltpu.VMEM((nd, 8, bd), jnp.float32),        # conv halo (8-row aligned)
+            pltpu.VMEM((nd, N, bd), jnp.float32),        # scan carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(conv_w_rows[None], conv_b[None, None], w_dtlr[None], w_B[None],
+      w_C[None], dt_proj_w[None], dt_bias[None, None], A[None],
+      Dskip[None, None], xi)
+    return y

@@ -170,3 +170,26 @@ def test_pallas_bwd_matches_reference(rng):
     for p, r in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r),
                                    rtol=3e-3, atol=3e-3)
+
+
+def test_fused_mixer_inference_path(rng):
+    """The whole-mixer fused kernel (fused_inference=True) must match the
+    decomposed path exactly."""
+    import dataclasses
+
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+
+    cfg = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(7, 11, size=(2, 64)), jnp.int32)
+    ref = caduceus.forward(params, ids,
+                           dataclasses.replace(cfg, scan_impl="associative"),
+                           dtype=jnp.float32)["logits"]
+    with pltpu.force_tpu_interpret_mode():
+        got = caduceus.forward(params, ids,
+                               dataclasses.replace(cfg, scan_impl="pallas"),
+                               dtype=jnp.float32,
+                               fused_inference=True)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
