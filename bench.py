@@ -16,7 +16,7 @@ import numpy as np
 H100_L20_WINDOWS_PER_S = 5000 / 16.0  # BASELINE.md l20 H100
 
 N_WINDOWS = 5000
-BATCH = 256
+BATCH = 128
 MODEL = "l20"
 
 

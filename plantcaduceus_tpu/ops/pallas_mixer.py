@@ -106,7 +106,7 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
             dt_lr, wdt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dtp = jax.nn.softplus(dt + dtb[None, :])
-        a = jnp.exp(dtp[:, None, :] * At[None])             # [bl, N, bd]
+        a = jnp.exp2(dtp[:, None, :] * (At[None] * 1.4426950408889634))     # [bl, N, bd]
         bv = (dtp * xg)[:, None, :] * Bm[..., None]
 
         h0 = h_scr[di]

@@ -92,7 +92,7 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         hb_ref[:, 0] = jnp.swapaxes(h_scr[...], 1, 2)  # [bb, bd, N]
 
     dtp = jax.nn.softplus(dt + dtb[None, None, :])           # [bb, bl, bd]
-    a = jnp.exp(dtp[:, :, None, :] * At[None, None])         # [bb, bl, N, bd]
+    a = jnp.exp2(dtp[:, :, None, :] * (At[None, None] * 1.4426950408889634))  # [bb, bl, N, bd]
     b = (dtp * x)[:, :, None, :] * Bm[..., None]             # [bb, bl, N, bd]
 
     if t_inner > 1:
@@ -286,7 +286,7 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     dtp = jax.nn.softplus(pre)
     sig = jax.lax.logistic(pre)
 
-    a = jnp.exp(dtp[:, None, :] * At[None])                 # [bl, N, bd]
+    a = jnp.exp2(dtp[:, None, :] * (At[None] * 1.4426950408889634))         # [bl, N, bd]
     b = (dtp * x)[:, None, :] * Bm[..., None]               # [bl, N, bd]
 
     # forward state recompute within the chunk
