@@ -75,9 +75,15 @@ def _sync_grads(grads, specs):
 
 def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
                  dtype=jnp.bfloat16, remat: bool = True):
-    """shard_map'd (params, batch) -> (loss, accuracy, grads)."""
+    """shard_map'd (params, batch) -> (loss, accuracy, grads). On a
+    single-device mesh the shard_map wrapper (and its no-op collectives) is
+    bypassed entirely — measured ~1 s/step of overhead on the remote TPU."""
     tp = mesh.shape.get("tensor", 1) > 1
     tp_axis = "tensor" if tp else None
+    single = mesh.size == 1
+
+    def psum(v, axes):
+        return v if single else jax.lax.psum(v, axes)
 
     def local_grads(params, batch):
         # Global normaliser: parameter-independent (labels/weights only), so
@@ -87,7 +93,7 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
         w_local = valid.astype(jnp.float32)
         if "loss_weights" in batch:
             w_local = w_local * batch["loss_weights"].astype(jnp.float32)
-        W = jnp.maximum(jax.lax.psum(jnp.sum(w_local), BATCH_AXES), 1e-8)
+        W = jnp.maximum(psum(jnp.sum(w_local), BATCH_AXES), 1e-8)
 
         def loss_fn(params_full):
             out = caduceus.forward(
@@ -100,17 +106,18 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
             # _sync_grads reassembles the full gradient.
             return nll / W, out["logits"]
 
-        params_full = _gather_fsdp(params, param_specs)
+        params_full = params if single else _gather_fsdp(params, param_specs)
         (local_obj, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params_full)
-        grads = _sync_grads(grads, param_specs)
-        loss = jax.lax.psum(local_obj, BATCH_AXES)
+        if not single:
+            grads = _sync_grads(grads, param_specs)
+        loss = psum(local_obj, BATCH_AXES)
 
         # masked-token accuracy (metric parity: MaskedAccuracy ignore -100)
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == batch["labels"]) & valid)
-        acc = jax.lax.psum(correct, BATCH_AXES) / jnp.maximum(
-            jax.lax.psum(jnp.sum(valid), BATCH_AXES), 1)
+        acc = psum(correct, BATCH_AXES) / jnp.maximum(
+            psum(jnp.sum(valid), BATCH_AXES), 1)
         return loss, acc, grads
 
     batch_spec = {
@@ -120,6 +127,8 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
     }
 
     def grad_fn(params, batch):
+        if single:
+            return local_grads(params, batch)
         bspec = {k: batch_spec[k] for k in batch}
         return jax.shard_map(
             local_grads, mesh=mesh,
