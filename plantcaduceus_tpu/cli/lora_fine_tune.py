@@ -197,9 +197,10 @@ def cmd_train(args):
         batch = next(data)
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, params, batch, sub)
+        # per-step sync (donated-state run-ahead degrades the remote runtime)
+        loss = float(metrics["loss"])
         if (step + 1) % args.logging_steps == 0:
-            log.info("step %d/%d loss=%.4f", step + 1, args.max_steps,
-                     float(metrics["loss"]))
+            log.info("step %d/%d loss=%.4f", step + 1, args.max_steps, loss)
         if (step + 1) % args.eval_steps == 0 or step + 1 == args.max_steps:
             logits = _predict_all(infer_fn, state, params, ids_ev,
                                   args.eval_batch_size)

@@ -49,3 +49,21 @@ def test_save_roundtrip(tmp_path):
     tok.save(tmp_path)
     tok2 = DnaTokenizer.from_hf_dir(tmp_path)
     assert tok2.get_vocab() == tok.get_vocab()
+
+
+def test_from_hf_tokenizer_json(tmp_path):
+    """HF fast-tokenizer format (tokenizer.json) with a custom id layout."""
+    import json
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[MASK]": 2, "a": 3, "c": 4, "g": 5,
+             "t": 6, "n": 7}
+    (tmp_path / "tokenizer.json").write_text(json.dumps({
+        "normalizer": {"type": "Lowercase"},
+        "model": {"type": "WordLevel", "vocab": vocab},
+        "added_tokens": [{"id": 2, "content": "[MASK]"}],
+    }))
+    tok = DnaTokenizer.from_hf_dir(tmp_path)
+    assert tok.get_vocab()["a"] == 3 and tok.mask_token_id == 2
+    np.testing.assert_array_equal(tok.encode("ACGT"), [3, 4, 5, 6])
+    cmap = tok.complement_map_ids()
+    assert cmap[3] == 6 and cmap[4] == 5
