@@ -1,0 +1,81 @@
+"""Zero-shot score stability: dtype, batch size, and engine invariances."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plantcaduceus_tpu.engine.runner import InferenceRunner
+from plantcaduceus_tpu.engine import zero_shot
+from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
+from plantcaduceus_tpu.models import caduceus
+from plantcaduceus_tpu.models.config import CaduceusConfig
+from plantcaduceus_tpu.parallel import mesh as meshlib
+
+TINY = dict(d_model=32, n_layer=3, vocab_size=16, d_state=8)
+
+
+def _setup(rng, n=24, L=128):
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    tok = DnaTokenizer()
+    seqs = ["".join(rng.choice(list("ACGT"), L)) for _ in range(n)]
+    return cfg, params, tok, seqs
+
+
+def _mesh1():
+    return meshlib.make_mesh(meshlib.MeshConfig(data=1),
+                             devices=jax.devices()[:1])
+
+
+def test_scores_batch_size_invariant(rng):
+    """Padding the ragged tail must not change any score."""
+    cfg, params, tok, seqs = _setup(rng, n=21)
+    out = {}
+    for bs in (8, 16, 32):
+        runner = InferenceRunner(params, cfg, mesh=_mesh1(),
+                                 dtype=jnp.float32, batch_size=bs)
+        out[bs] = zero_shot.nucleotide_probs(runner, tok, seqs, token_idx=64,
+                                             progress=False)
+    np.testing.assert_allclose(out[8], out[16], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(out[8], out[32], rtol=1e-6, atol=1e-7)
+
+
+def test_scores_bf16_close_to_fp32(rng):
+    """bf16 inference must give scores close to fp32 (the reference runs
+    bf16 on A100+; zero-shot scores are softmax-ratio quantities and must be
+    stable under reduced precision)."""
+    cfg, params, tok, seqs = _setup(rng, n=16)
+    probs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        runner = InferenceRunner(params, cfg, mesh=_mesh1(), dtype=dtype,
+                                 batch_size=16)
+        probs[dtype] = zero_shot.nucleotide_probs(runner, tok, seqs, 64,
+                                                  progress=False)
+    refs = [s[64] for s in seqs]
+    alts = ["A" if r != "A" else "C" for r in refs]
+    s32 = zero_shot.log_ratio_scores(probs[jnp.float32], refs, alts)
+    s16 = zero_shot.log_ratio_scores(probs[jnp.bfloat16], refs, alts)
+    # scores are O(0.1-1); bf16 tolerance per BASELINE "bf16 mode validated
+    # separately" — demand tight correlation and small absolute error
+    assert np.corrcoef(s32, s16)[0, 1] > 0.999
+    np.testing.assert_allclose(s16, s32, atol=0.05)
+
+
+def test_score_symmetry_under_rc(rng):
+    """Scoring a window and its reverse complement (with the complementary
+    ref/alt) must give identical scores — the RC-equivariance guarantee at
+    the application level."""
+    from plantcaduceus_tpu.io.tokenizer import reverse_complement
+
+    cfg, params, tok, seqs = _setup(rng, n=8, L=129)
+    runner = InferenceRunner(params, cfg, mesh=_mesh1(), dtype=jnp.float32,
+                             batch_size=8)
+    center = 64  # center of a 129-mer: RC maps position 64 -> 64
+    probs_f = zero_shot.nucleotide_probs(runner, tok, seqs, center,
+                                         progress=False)
+    rc_seqs = [reverse_complement(s) for s in seqs]
+    probs_r = zero_shot.nucleotide_probs(runner, tok, rc_seqs, center,
+                                         progress=False)
+    # P_rc(base) == P_fwd(complement(base)): columns A,C,G,T -> T,G,C,A
+    np.testing.assert_allclose(probs_r, probs_f[:, ::-1], rtol=1e-4,
+                               atol=1e-5)
