@@ -40,14 +40,50 @@ def mask_and_encode(sequences: Sequence[str], tokenizer: DnaTokenizer,
     return ids
 
 
+def _unstripe(gathered: np.ndarray, counts) -> np.ndarray:
+    """Reassemble globally-ordered rows from per-host strided shards.
+    gathered: [n_hosts, per_host_padded, ...]; counts[h] = real rows of host
+    h (host h held records h::n_hosts)."""
+    total = int(sum(counts))
+    out = np.zeros((total,) + gathered.shape[2:], gathered.dtype)
+    n = gathered.shape[0]
+    for h in range(n):
+        out[h::n] = gathered[h, : counts[h]]
+    return out
+
+
 def nucleotide_probs(runner: InferenceRunner, tokenizer: DnaTokenizer,
                      sequences: Sequence[str], token_idx: int,
                      progress: bool = True) -> np.ndarray:
-    """[N, 4] softmax probs over a,c,g,t at the masked center."""
-    ids = mask_and_encode(sequences, tokenizer, token_idx)
+    """[N, 4] softmax probs over a,c,g,t at the masked center.
+
+    Multi-host: each process scores its stride of the records
+    (``sequences[process_index::process_count]``) and results are
+    all-gathered so every host holds the full, globally-ordered array —
+    SURVEY.md §2.7's record-striding + all_gather plan."""
+    import jax
+
     vocab = tokenizer.get_vocab()
     nuc_ids = [vocab[n] for n in "acgt"]
-    return runner.masked_probs(ids, nuc_ids, token_idx, progress=progress)
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        ids = mask_and_encode(sequences, tokenizer, token_idx)
+        return runner.masked_probs(ids, nuc_ids, token_idx, progress=progress)
+
+    from jax.experimental import multihost_utils
+
+    k = jax.process_index()
+    mine = list(sequences[k::n_proc])
+    ids = mask_and_encode(mine, tokenizer, token_idx)
+    local = runner.masked_probs(ids, nuc_ids, token_idx, progress=progress)
+    per = -(-len(sequences) // n_proc)
+    if len(mine) < per:  # pad so all hosts contribute equal shapes
+        local = np.concatenate(
+            [local, np.zeros((per - len(mine),) + local.shape[1:],
+                             local.dtype)])
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    counts = [len(sequences[h::n_proc]) for h in range(n_proc)]
+    return _unstripe(gathered, counts)
 
 
 def log_ratio_scores(probs: np.ndarray, refs: Sequence[str],

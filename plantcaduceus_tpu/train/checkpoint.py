@@ -31,9 +31,15 @@ class CheckpointManager:
             max_to_keep=max_to_keep,
             create=True,
         )
+        self._interval = save_interval_steps
         self._mgr = ocp.CheckpointManager(str(self.directory), options=options)
 
     def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+        # Cheap host-side guard: orbax's own should_save check still does
+        # per-call bookkeeping that adds measurable per-step overhead on the
+        # remote runtime.
+        if not force and self._interval and step % self._interval != 0:
+            return False
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state._asdict()), force=force)
         return bool(saved)

@@ -139,6 +139,23 @@ class StreamingPretrainDataset:
             epoch += 1
 
 
+def concat_chunks(sequences, window: int, tokenizer: DnaTokenizer,
+                  sep_token: str = "[SEP]") -> Iterator[np.ndarray]:
+    """Concat-mode chunking (the ConcatTokensDataset capability, reference
+    pretrain/scripts/convert_bert_dataset_to_mds_streaming.py:280-371):
+    join token streams with a separator id and emit fixed-length id windows,
+    so no sequence material is dropped at record boundaries."""
+    sep = tokenizer.get_vocab().get(sep_token, tokenizer.pad_token_id)
+    buf = np.zeros(0, np.int32)
+    for seq in sequences:
+        ids = tokenizer.encode(seq)
+        buf = np.concatenate([buf, ids, [sep]]) if buf.size else \
+            np.concatenate([ids, [sep]]).astype(np.int32)
+        while buf.size >= window:
+            yield buf[:window].astype(np.int32)
+            buf = buf[window:]
+
+
 def convert_to_shards(source: Sequence[str], out_dir, shard_size: int = 65536,
                       seq_column: str = "seq") -> int:
     """Offline converter: iterable of sequences -> parquet shards."""

@@ -79,3 +79,20 @@ def test_score_symmetry_under_rc(rng):
     # P_rc(base) == P_fwd(complement(base)): columns A,C,G,T -> T,G,C,A
     np.testing.assert_allclose(probs_r, probs_f[:, ::-1], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_unstripe_reassembly(rng):
+    """Multi-host gather reassembly restores global record order."""
+    from plantcaduceus_tpu.engine.zero_shot import _unstripe
+
+    n_hosts, total = 3, 10
+    data = rng.standard_normal((total, 4)).astype(np.float32)
+    per = -(-total // n_hosts)
+    gathered = np.zeros((n_hosts, per, 4), np.float32)
+    counts = []
+    for h in range(n_hosts):
+        mine = data[h::n_hosts]
+        counts.append(len(mine))
+        gathered[h, : len(mine)] = mine
+    out = _unstripe(gathered, counts)
+    np.testing.assert_array_equal(out, data)

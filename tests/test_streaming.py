@@ -1,5 +1,6 @@
 """Streaming pretrain dataset: shard conversion, host partitioning, batches."""
 
+import numpy as np
 import pytest
 
 from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
@@ -51,3 +52,17 @@ def test_streaming_fasta_shards(tmp_path, rng):
                                   window=100)
     b = next(iter(ds))
     assert b["input_ids"].shape == (4, 100)
+
+
+def test_concat_chunks(rng):
+    from plantcaduceus_tpu.train.streaming import concat_chunks
+
+    tok = DnaTokenizer()
+    seqs = ["ACGT" * 5, "GG", "TTTTTTTT"]  # 20 + 1 + 2 + 1 + 8 + 1 = 33 ids
+    chunks = list(concat_chunks(seqs, window=8, tokenizer=tok))
+    assert len(chunks) == 4  # 33 // 8
+    assert all(c.shape == (8,) for c in chunks)
+    flat = [i for c in chunks for i in c.tolist()]
+    sep = tok.get_vocab()["[SEP]"]
+    # separators present at record boundaries; no material dropped mid-stream
+    assert flat[20] == sep and flat.count(sep) >= 2
