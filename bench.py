@@ -26,11 +26,11 @@ def main():
 
     from plantcaduceus_tpu.engine.runner import InferenceRunner
     from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
-    from plantcaduceus_tpu.models import caduceus
     from plantcaduceus_tpu.models.config import CaduceusConfig
+    from plantcaduceus_tpu.utils.model_loading import init_params_host
 
     cfg = CaduceusConfig.preset(MODEL)
-    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    params = init_params_host(cfg)
     tok = DnaTokenizer()
     runner = InferenceRunner(params, cfg, dtype=jnp.bfloat16, batch_size=BATCH)
 

@@ -359,7 +359,8 @@ def main(argv=None):
         sp.add_argument("--warmup-steps", type=int, default=50)
         sp.add_argument("--max-steps", type=int, default=500)
         sp.add_argument("--weight-decay", type=float, default=0.01)
-        sp.add_argument("--bf16", action="store_true", default=True)
+        sp.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                        default=True)
         sp.add_argument("--seed", type=int, default=42)
 
     tr = sub.add_parser("train")

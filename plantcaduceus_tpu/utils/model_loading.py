@@ -54,8 +54,19 @@ def load_model_and_tokenizer(spec: str, seed: int = 0) -> Tuple[dict, CaduceusCo
         )
     log.info("Building randomly initialised preset %s", name)
     cfg = CaduceusConfig.preset(name)
-    params = caduceus.init_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.float32)
+    params = init_params_host(cfg, seed)
     return params, cfg, DnaTokenizer()
+
+
+def init_params_host(cfg: CaduceusConfig, seed: int = 0):
+    """Initialise parameters on the host CPU device. Eager initialisation on
+    the remote TPU dispatches hundreds of tiny ops through the
+    remote-compile tunnel (~minutes for l20); on CPU it is instant and the
+    engine/training setup moves the pytree to the accelerator afterwards."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return caduceus.init_params(jax.random.PRNGKey(seed), cfg,
+                                    dtype=jnp.float32)
 
 
 def load_tokenizer_only(spec: str) -> DnaTokenizer:
