@@ -178,9 +178,38 @@ def make_train_step(
                    "grad_norm": optax.global_norm(grads)}
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    single = mesh.size == 1
+    tp_axis = "tensor" if mesh.shape.get("tensor", 1) > 1 else None
+
+    def local_eval(params, batch):
+        # forward-only (no gradients)
+        psum = (lambda v: v) if single else \
+            (lambda v: jax.lax.psum(v, BATCH_AXES))
+        out = caduceus.forward(params, batch["input_ids"], cfg, dtype=dtype,
+                               tp_axis=tp_axis)
+        nll, w = _loss_sums(out["logits"], batch["labels"],
+                            batch.get("loss_weights"))
+        loss = psum(nll) / jnp.maximum(psum(w), 1e-8)
+        valid = batch["labels"] != -100
+        pred = jnp.argmax(out["logits"], axis=-1)
+        correct = jnp.sum((pred == batch["labels"]) & valid)
+        acc = psum(correct) / jnp.maximum(psum(jnp.sum(valid)), 1)
+        return {"loss": loss, "accuracy": acc}
+
     @jax.jit
     def eval_step(state: TrainState, batch) -> Dict:
-        loss, acc, _ = grad_fn(state.params, batch)
-        return {"loss": loss, "accuracy": acc}
+        if single:
+            return local_eval(state.params, batch)
+
+        def gathered_eval(params, batch):
+            params_full = _gather_fsdp(params, pspecs)
+            return local_eval(params_full, batch)
+
+        return jax.shard_map(
+            gathered_eval, mesh=mesh,
+            in_specs=(pspecs, {k: P(BATCH_AXES) for k in batch}),
+            out_specs={"loss": P(), "accuracy": P()},
+            check_vma=False,
+        )(state.params, batch)
 
     return init_state, train_step, eval_step

@@ -140,3 +140,27 @@ def test_untied_directions(tmp_path, rng):
     }))
     params, cfg2 = hf_import.import_params(tmp_path)
     assert params["blocks"]["in_proj_x"].shape[1] == 2
+
+
+def test_export_import_roundtrip(tmp_path, rng):
+    """export_hf_dir -> import_params must reproduce params and forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from plantcaduceus_tpu.compat.hf_export import export_hf_dir
+    from plantcaduceus_tpu.models import caduceus
+
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(3), cfg)
+    export_hf_dir(tmp_path / "exp", params, cfg)
+    params2, cfg2 = hf_import.import_params(tmp_path / "exp")
+    assert cfg2.d_model == cfg.d_model and cfg2.rcps == cfg.rcps
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(params2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+    ids = jnp.asarray(rng.integers(7, 11, size=(1, 16)), jnp.int32)
+    o1 = caduceus.forward(params, ids, cfg, dtype=jnp.float32)["logits"]
+    o2 = caduceus.forward(params2, ids, cfg2, dtype=jnp.float32)["logits"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5)
