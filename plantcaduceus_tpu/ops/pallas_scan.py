@@ -53,18 +53,30 @@ DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 
 def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
                 C_ref, *rest, t_inner: int, reverse: bool,
-                fuse_dtproj: bool, combine: bool, emit_hb: bool):
+                fuse_dtproj: bool, combine: bool, emit_hb: bool,
+                has_h0: bool, emit_final: bool):
+    rest = list(rest)
+    h0_ref = rest.pop(0) if has_h0 else None
     if combine:
-        yprev_ref, z_ref, *rest = rest
-    if emit_hb:
-        y_ref, hb_ref, h_scr = rest
-    else:
-        y_ref, h_scr = rest
+        yprev_ref, z_ref = rest.pop(0), rest.pop(0)
+    y_ref = rest.pop(0)
+    hb_ref = rest.pop(0) if emit_hb else None
+    if emit_final:
+        hfin_ref, aprod_ref = rest.pop(0), rest.pop(0)
+    scr = rest
+    h_scr = scr[0]
+    ap_scr = scr[1] if emit_final else None
     li = pl.program_id(2)
 
     @pl.when(li == 0)
     def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
+        if has_h0:
+            h_scr[...] = jnp.swapaxes(
+                h0_ref[...].astype(jnp.float32), 1, 2)  # [bb, N, bd]
+        else:
+            h_scr[:] = jnp.zeros_like(h_scr)
+        if emit_final:
+            ap_scr[:] = jnp.ones_like(ap_scr)
 
     x = x_ref[...].astype(jnp.float32)        # [bb, bl, bd]
     Bm = B_ref[...].astype(jnp.float32)       # [bb, bl, N]
@@ -126,6 +138,17 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         h0 = hc[:, t_inner - 1]
         hs.append(hc)
     h_scr[...] = h0
+    if emit_final:
+        # running product of all decay factors (for cross-shard stitching)
+        ap = ap_scr[...]
+        for c in range(bl):
+            ap = ap * a[:, c]
+        ap_scr[...] = ap
+
+        @pl.when(li == pl.num_programs(2) - 1)
+        def _():
+            hfin_ref[...] = jnp.swapaxes(h_scr[...], 1, 2)
+            aprod_ref[...] = jnp.swapaxes(ap_scr[...], 1, 2)
     if reverse:
         hs = hs[::-1]
     h = jnp.concatenate(hs, axis=1)                          # [bb, bl, N, bd]
@@ -152,7 +175,8 @@ def _pick_bb(R: int, B: int, G: int, bb: int) -> int:
 
 def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
                        bl, bd, t_inner, bb, reverse,
-                       y_prev=None, z=None, emit_hb=True):
+                       y_prev=None, z=None, emit_hb=True,
+                       h0=None, emit_final=False):
     """One pallas_call over rows of (possibly several) groups sharing a
     static ``reverse`` flag. Shapes as in selective_scan but G may be 1.
     When ``y_prev``/``z`` are given ([G, B, L, D]), the kernel emits
@@ -190,7 +214,8 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
 
     kernel = functools.partial(_fwd_kernel, t_inner=t_inner, reverse=reverse,
                                fuse_dtproj=fuse_dtproj, combine=combine,
-                               emit_hb=emit_hb)
+                               emit_hb=emit_hb, has_h0=h0 is not None,
+                               emit_final=emit_final)
     dt_cols = Rk if fuse_dtproj else bd
     dt_map = ((lambda r, d, l: (r, lmap(l), 0)) if fuse_dtproj
               else (lambda r, d, l: (r, lmap(l), d)))
@@ -208,6 +233,10 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     ]
     operands = [dt_bias[:, None, :], A, Dskip[:, None, :], dt_proj_w,
                 xf, dtf, Bf, Cf]
+    if h0 is not None:
+        in_specs.append(
+            pl.BlockSpec((bb, bd, N), lambda r, d, l: (r, d, 0)))  # h0
+        operands.append(h0.reshape(R, D, N))
     if combine:
         in_specs += [pl.BlockSpec((bb, bl, bd), xmap),             # y_prev
                      pl.BlockSpec((bb, bl, bd), xmap)]             # z
@@ -218,20 +247,31 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         out_specs.append(
             pl.BlockSpec((bb, 1, bd, N), lambda r, d, l: (r, l, d, 0)))
         out_shape.append(jax.ShapeDtypeStruct((R, nl, D, N), jnp.float32))
+    if emit_final:
+        fmap = lambda r, d, l: (r, d, 0)
+        out_specs += [pl.BlockSpec((bb, bd, N), fmap),
+                      pl.BlockSpec((bb, bd, N), fmap)]
+        out_shape += [jax.ShapeDtypeStruct((R, D, N), jnp.float32),
+                      jax.ShapeDtypeStruct((R, D, N), jnp.float32)]
+    scratch = [pltpu.VMEM((bb, N, bd), jnp.float32)]
+    if emit_final:
+        scratch.append(pltpu.VMEM((bb, N, bd), jnp.float32))
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bb, N, bd), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(*operands)
     y = res[0]
     hb = res[1] if emit_hb else None
-    return y.reshape(G, B, L, D), hb
+    extra = tuple(res[-2:]) if emit_final else None
+    out = (y.reshape(G, B, L, D), hb)
+    return out + (extra,) if emit_final else out
 
 
 def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
