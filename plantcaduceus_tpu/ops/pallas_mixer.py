@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEF_BL = 256
+DEF_BL = 512
 DEF_BD = 256
 
 
@@ -113,15 +113,22 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
         steps = range(bl)
         if reverse:
             steps = reversed(list(steps))
-        hs = []
+        ys = []
         for t in steps:
             h0 = a[t] * h0 + bv[t]
-            hs.append(h0)
+            # C-readout as a (1,N)x(N,bd) dot — on the otherwise-idle MXU
+            # rather than the VPU the recurrence saturates, and each step's
+            # state dies in registers instead of materialising [bl, N, bd].
+            # (Forming a/bv per-step on the MXU too was measured 6x SLOWER —
+            # the bulk exp2/outer-mul pipeline across the chunk is what keeps
+            # the VPU fed; see docs/DESIGN.md §5.)
+            ys.append(jax.lax.dot_general(
+                Cm[t : t + 1], h0, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))        # [1, bd]
         h_scr[di] = h0
         if reverse:
-            hs = hs[::-1]
-        h = jnp.stack(hs)                                   # [bl, N, bd]
-        y = jnp.sum(h * Cm[:, :, None], axis=1) + xg * dsk[None, :]
+            ys = ys[::-1]
+        y = jnp.concatenate(ys, axis=0) + xg * dsk[None, :]
         y_ref[0] = y.astype(y_ref.dtype)
 
 

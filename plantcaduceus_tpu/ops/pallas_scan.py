@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEF_BL = 256        # time-steps per grid step
+DEF_BL = 512        # time-steps per grid step (v5e: 512 beats 256 with the MXU readout)
 DEF_BD = 256        # channels per grid step (lane axis)
 DEF_BB = 1          # batch rows per grid step (v5e sweep: bb>1 never wins)
 DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
@@ -132,11 +132,21 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     steps = range(0, bl, t_inner)
     if reverse:
         steps = reversed(list(steps))
-    hs = []
+    mxu_readout = t_inner == 1 and bb == 1
+    outs = []
     for c in steps:
         hc = b[:, c : c + t_inner] + a[:, c : c + t_inner] * h0[:, None]
         h0 = hc[:, t_inner - 1]
-        hs.append(hc)
+        if mxu_readout:
+            # C-readout as a (1,N)x(N,bd) dot: runs on the otherwise-idle
+            # MXU instead of the VPU (which the recurrence saturates), and
+            # the state hc dies in registers instead of materialising the
+            # full [bb, bl, N, bd] chunk tensor for a second readout pass.
+            outs.append(jax.lax.dot_general(
+                Cm[:, c], hc[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # [1, bd]
+        else:
+            outs.append(hc)
     h_scr[...] = h0
     if emit_final:
         # running product of all decay factors (for cross-shard stitching)
@@ -150,10 +160,12 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
             hfin_ref[...] = jnp.swapaxes(h_scr[...], 1, 2)
             aprod_ref[...] = jnp.swapaxes(ap_scr[...], 1, 2)
     if reverse:
-        hs = hs[::-1]
-    h = jnp.concatenate(hs, axis=1)                          # [bb, bl, N, bd]
-
-    y = jnp.sum(h * Cm[..., None], axis=2)                   # [bb, bl, bd]
+        outs = outs[::-1]
+    if mxu_readout:
+        y = jnp.stack(outs, axis=1)                          # [1, bl, bd]
+    else:
+        h = jnp.concatenate(outs, axis=1)                    # [bb, bl, N, bd]
+        y = jnp.sum(h * Cm[..., None], axis=2)               # [bb, bl, bd]
     y = y + x * dsk[None, None, :]
     if combine:
         # Bidirectional epilogue: add the forward-direction output and apply
