@@ -350,27 +350,37 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     h = jnp.stack(hs)                                       # [bl, N, bd]
     h_prev = jnp.concatenate([h_in[None], h[:-1]], axis=0)
 
-    # adjoint reverse recurrence: g[t] = C[t]⊗gy[t] + a[t+1] g[t+1]
-    gs = []
+    dC_blk = jnp.sum(h * gy[:, None, :], axis=2)            # [bl, N]
+
+    # adjoint reverse recurrence: g[t] = C[t]⊗gy[t] + a[t+1] g[t+1].
+    # Every g-consumer runs inside the loop so g never materialises as a
+    # [bl, N, bd] tensor: the B- and dtx-contractions are per-step
+    # (1,N)x(N,bd) / (1,bd)x(N,bd) dots on the otherwise-idle MXU, and the
+    # dA term accumulates in registers. ``das`` reuses the a[t]*g_t product
+    # (g*h_prev*a == g_next*h_prev), saving one multiply per state.
+    dtx = dtp * x                                           # [bl, bd]
+    dA_acc = jnp.zeros((N, bd), jnp.float32)
+    gB_rows, dB_rows, dda_rows = [], [], []
     g_next = g_scr[di]                                      # [N, bd]
     for t in range(bl - 1, -1, -1):
         g_t = Cm[t][:, None] * gy[t][None, :] + g_next
-        gs.append(g_t)
+        gB_rows.append(jax.lax.dot_general(
+            Bm[t : t + 1], g_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))            # [1, bd]
+        dB_rows.append(jax.lax.dot_general(
+            dtx[t : t + 1], g_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))            # [1, N]
         g_next = a[t] * g_t
+        das = g_next * h_prev[t]
+        dA_acc = dA_acc + das * dtp[t][None, :]
+        dda_rows.append(jnp.sum(das * At, axis=0, keepdims=True))  # [1, bd]
     g_scr[di] = g_next
-    g = jnp.stack(gs[::-1])                                 # [bl, N, bd]
-
-    da_scaled = g * h_prev * a
-    sum_gB = jnp.sum(g * Bm[..., None], axis=1)             # [bl, bd]
-    ddtp = jnp.sum(da_scaled * At[None], axis=1) + sum_gB * x
+    sum_gB = jnp.concatenate(gB_rows[::-1], axis=0)         # [bl, bd]
+    dB_blk = jnp.concatenate(dB_rows[::-1], axis=0)         # [bl, N]
+    ddtp = jnp.concatenate(dda_rows[::-1], axis=0) + sum_gB * x
     ddt_full = ddtp * sig                                   # [bl, bd]
 
     dx_ref[0] = (sum_gB * dtp + gy * dsk).astype(dx_ref.dtype)
-
-    # batched (over t) contractions over d: explicit mul+reduce — Mosaic has
-    # no lowering for batched dot_general inside kernels
-    dB_blk = jnp.sum(g * (dtp * x)[:, None, :], axis=2)     # [bl, N]
-    dC_blk = jnp.sum(h * gy[:, None, :], axis=2)            # [bl, N]
     if fuse_dtproj:
         ddt_blk = jax.lax.dot_general(
             ddt_full, wdt, (((1,), (1,)), ((), ())),
@@ -396,8 +406,7 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         ddt_ref[0] = ddt_blk.astype(ddt_ref.dtype)
 
     # full-run accumulators (constant-index outputs stay VMEM-resident)
-    dA_ref[pl.ds(di * bd, bd), :] += jnp.sum(
-        da_scaled * dtp[:, None, :], axis=0).T              # [bd, N]
+    dA_ref[pl.ds(di * bd, bd), :] += dA_acc.T               # [bd, N]
     ddtb_ref[0, pl.ds(di * bd, bd)] += jnp.sum(ddt_full, axis=0)
     dD_ref[0, pl.ds(di * bd, bd)] += jnp.sum(gy * x, axis=0)
     if fuse_dtproj:
@@ -568,7 +577,7 @@ def _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     return y
 
 
-TRAIN_BL = 128  # chunking under grad: fwd hb chunks must match the bwd
+TRAIN_BL = 256  # chunking under grad: fwd hb chunks must match the bwd
                 # kernel's VMEM budget (4 live [bl, N, bd] fp32 tensors)
 
 
