@@ -9,9 +9,13 @@ Usage: python tools/ladder.py [l20 l24 l28 l32 ...] [--windows 2000]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(model: str, n_windows: int, batch: int) -> float:
