@@ -54,18 +54,16 @@ DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
                 C_ref, *rest, t_inner: int, reverse: bool,
                 fuse_dtproj: bool, combine: bool, emit_hb: bool,
-                has_h0: bool, emit_final: bool):
+                has_h0: bool, emit_hfin: bool):
     rest = list(rest)
     h0_ref = rest.pop(0) if has_h0 else None
     if combine:
         yprev_ref, z_ref = rest.pop(0), rest.pop(0)
     y_ref = rest.pop(0)
     hb_ref = rest.pop(0) if emit_hb else None
-    if emit_final:
-        hfin_ref, aprod_ref = rest.pop(0), rest.pop(0)
+    hfin_ref = rest.pop(0) if emit_hfin else None
     scr = rest
     h_scr = scr[0]
-    ap_scr = scr[1] if emit_final else None
     li = pl.program_id(2)
 
     @pl.when(li == 0)
@@ -75,8 +73,6 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
                 h0_ref[...].astype(jnp.float32), 1, 2)  # [bb, N, bd]
         else:
             h_scr[:] = jnp.zeros_like(h_scr)
-        if emit_final:
-            ap_scr[:] = jnp.ones_like(ap_scr)
 
     x = x_ref[...].astype(jnp.float32)        # [bb, bl, bd]
     Bm = B_ref[...].astype(jnp.float32)       # [bb, bl, N]
@@ -148,17 +144,14 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         else:
             outs.append(hc)
     h_scr[...] = h0
-    if emit_final:
-        # running product of all decay factors (for cross-shard stitching)
-        ap = ap_scr[...]
-        for c in range(bl):
-            ap = ap * a[:, c]
-        ap_scr[...] = ap
-
+    if emit_hfin:
+        # final state for cross-shard stitching (ops/seq_parallel.py); the
+        # matching decay product is exp(A · Σdtp), computed OUTSIDE the
+        # kernel — prod of exps is the exp of a sum, and the JAX-side sum
+        # is N× fewer flops than an in-kernel per-state running product.
         @pl.when(li == pl.num_programs(2) - 1)
         def _():
             hfin_ref[...] = jnp.swapaxes(h_scr[...], 1, 2)
-            aprod_ref[...] = jnp.swapaxes(ap_scr[...], 1, 2)
     if reverse:
         outs = outs[::-1]
     if mxu_readout:
@@ -188,7 +181,7 @@ def _pick_bb(R: int, B: int, G: int, bb: int) -> int:
 def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
                        bl, bd, t_inner, bb, reverse,
                        y_prev=None, z=None, emit_hb=True,
-                       h0=None, emit_final=False):
+                       h0=None, emit_hfin=False):
     """One pallas_call over rows of (possibly several) groups sharing a
     static ``reverse`` flag. Shapes as in selective_scan but G may be 1.
     When ``y_prev``/``z`` are given ([G, B, L, D]), the kernel emits
@@ -227,7 +220,7 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     kernel = functools.partial(_fwd_kernel, t_inner=t_inner, reverse=reverse,
                                fuse_dtproj=fuse_dtproj, combine=combine,
                                emit_hb=emit_hb, has_h0=h0 is not None,
-                               emit_final=emit_final)
+                               emit_hfin=emit_hfin)
     dt_cols = Rk if fuse_dtproj else bd
     dt_map = ((lambda r, d, l: (r, lmap(l), 0)) if fuse_dtproj
               else (lambda r, d, l: (r, lmap(l), d)))
@@ -259,15 +252,10 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
         out_specs.append(
             pl.BlockSpec((bb, 1, bd, N), lambda r, d, l: (r, l, d, 0)))
         out_shape.append(jax.ShapeDtypeStruct((R, nl, D, N), jnp.float32))
-    if emit_final:
-        fmap = lambda r, d, l: (r, d, 0)
-        out_specs += [pl.BlockSpec((bb, bd, N), fmap),
-                      pl.BlockSpec((bb, bd, N), fmap)]
-        out_shape += [jax.ShapeDtypeStruct((R, D, N), jnp.float32),
-                      jax.ShapeDtypeStruct((R, D, N), jnp.float32)]
+    if emit_hfin:
+        out_specs.append(pl.BlockSpec((bb, bd, N), lambda r, d, l: (r, d, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((R, D, N), jnp.float32))
     scratch = [pltpu.VMEM((bb, N, bd), jnp.float32)]
-    if emit_final:
-        scratch.append(pltpu.VMEM((bb, N, bd), jnp.float32))
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -281,21 +269,30 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     )(*operands)
     y = res[0]
     hb = res[1] if emit_hb else None
-    extra = tuple(res[-2:]) if emit_final else None
     out = (y.reshape(G, B, L, D), hb)
-    return out + (extra,) if emit_final else out
+    return out + (res[-1],) if emit_hfin else out
 
 
 def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
-                C_ref, gy_ref, hb_ref,
-                dx_ref, ddt_ref, dB_ref, dC_ref, dA_ref, ddtb_ref, dD_ref,
-                dW_ref, g_scr, *, fuse_dtproj: bool):
+                C_ref, gy_ref, hb_ref, *rest, fuse_dtproj: bool,
+                has_g0: bool, emit_dh0: bool):
     """Adjoint of the forward-direction scan for one (row, time-chunk,
     d-block) grid step. Grid (R, nl, nd): d innermost (dB/dC/ddt_lr blocks
     accumulate over it), time chunks processed in REVERSE via the index
     maps. Forward states recompute chunk-locally from the boundary states
     ``hb`` the forward kernel emitted; the state cotangent carries across
-    chunks in VMEM scratch (one [N, bd] slot per d-block)."""
+    chunks in VMEM scratch (one [N, bd] slot per d-block).
+
+    ``g0`` seeds the cotangent recurrence (the adjoint of a final-state
+    output — sequence-parallel stitching); ``dh0`` emits the cotangent left
+    after the earliest time chunk = the gradient w.r.t. the initial state."""
+    rest = list(rest)
+    g0_ref = rest.pop(0) if has_g0 else None
+    (dx_ref, ddt_ref, dB_ref, dC_ref, dA_ref, ddtb_ref, dD_ref,
+     dW_ref) = rest[:8]
+    rest = rest[8:]
+    dh0_ref = rest.pop(0) if emit_dh0 else None
+    g_scr = rest.pop(0)
     ri = pl.program_id(0)
     li = pl.program_id(1)
     di = pl.program_id(2)
@@ -311,7 +308,10 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
 
     @pl.when(li == 0)
     def _():
-        g_scr[di] = jnp.zeros_like(g_scr[di])
+        if has_g0:
+            g_scr[di] = g0_ref[0].astype(jnp.float32).T    # [N, bd]
+        else:
+            g_scr[di] = jnp.zeros_like(g_scr[di])
 
     x = x_ref[0].astype(jnp.float32)          # [bl, bd]
     Bm = B_ref[0].astype(jnp.float32)         # [bl, N]
@@ -413,12 +413,19 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         dW_ref[:, pl.ds(di * bd, bd)] += jax.lax.dot_general(
             dt_lr, ddt_full, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # [Rk, bd]
+    if emit_dh0:
+        # overwritten every time chunk; time runs reversed, so the last
+        # write (earliest chunk) leaves dL/d(initial state)
+        dh0_ref[0] = g_next.T                               # [bd, N]
 
 
 def _pallas_bwd_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
-                      gy, hb, bl, bd, fuse_dtproj):
+                      gy, hb, bl, bd, fuse_dtproj, g0=None, emit_dh0=False):
     """Backward for one forward-direction group. Shapes: x/gy [1,B,L,D];
-    dt [1,B,L,Rk|D]; hb [B, nl, D, N] matching the bl chunking."""
+    dt [1,B,L,Rk|D]; hb [B, nl, D, N] matching the bl chunking; g0 [B, D, N]
+    seeds the cotangent (adjoint of an emitted final state); with
+    ``emit_dh0`` the gradient w.r.t. the initial state is appended to the
+    returned tuple."""
     _, B, L, D = x.shape
     N = A.shape[-1]
     Rk = dt.shape[-1]
@@ -441,52 +448,65 @@ def _pallas_bwd_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     dt_cols = Rk if fuse_dtproj else bd
     dt_map = lmapN if fuse_dtproj else xmap
 
-    kernel = functools.partial(_bwd_kernel, fuse_dtproj=fuse_dtproj)
+    kernel = functools.partial(_bwd_kernel, fuse_dtproj=fuse_dtproj,
+                               has_g0=g0 is not None, emit_dh0=emit_dh0)
+    in_specs = [
+        pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # dt_bias
+        pl.BlockSpec((1, bd, N), lambda r, l, d: (0, d, 0)),   # A
+        pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # Dskip
+        pl.BlockSpec((1, wdt.shape[1], bd),
+                     lambda r, l, d: (0, 0, d)),               # W_dt
+        pl.BlockSpec((1, bl, bd), xmap),                       # x
+        pl.BlockSpec((1, bl, dt_cols), dt_map),                # dt(_lr)
+        pl.BlockSpec((1, bl, N), lmapN),                       # B
+        pl.BlockSpec((1, bl, N), lmapN),                       # C
+        pl.BlockSpec((1, bl, bd), xmap),                       # gy
+        pl.BlockSpec((1, 1, bd, N), lambda r, l, d: (r, lrev(l), d, 0)),
+    ]
+    operands = [dt_bias[:, None, :], A, Dskip[:, None, :], wdt,
+                xf, dtf, Bf, Cf, gyf, hb]
+    if g0 is not None:
+        in_specs.append(pl.BlockSpec((1, bd, N), lambda r, l, d: (r, d, 0)))
+        operands.append(g0)
+    out_specs = [
+        pl.BlockSpec((1, bl, bd), xmap),                       # dx
+        pl.BlockSpec((1, bl, dt_cols), dt_map),                # ddt
+        pl.BlockSpec((1, bl, N), lmapN),                       # dB
+        pl.BlockSpec((1, bl, N), lmapN),                       # dC
+        pl.BlockSpec((D, N), lambda r, l, d: (0, 0)),          # dA acc
+        pl.BlockSpec((1, D), lambda r, l, d: (0, 0)),          # ddtb acc
+        pl.BlockSpec((1, D), lambda r, l, d: (0, 0)),          # dD acc
+        pl.BlockSpec((wdt.shape[1], D), lambda r, l, d: (0, 0)),  # dW acc
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, L, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, L, dt_cols), jnp.float32),
+        jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+        jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+        jax.ShapeDtypeStruct((D, N), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((1, D), jnp.float32),
+        jax.ShapeDtypeStruct((wdt.shape[1], D), jnp.float32),
+    ]
+    if emit_dh0:
+        out_specs.append(pl.BlockSpec((1, bd, N),
+                                      lambda r, l, d: (r, d, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, D, N), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # dt_bias
-            pl.BlockSpec((1, bd, N), lambda r, l, d: (0, d, 0)),   # A
-            pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # Dskip
-            pl.BlockSpec((1, wdt.shape[1], bd),
-                         lambda r, l, d: (0, 0, d)),               # W_dt
-            pl.BlockSpec((1, bl, bd), xmap),                       # x
-            pl.BlockSpec((1, bl, dt_cols), dt_map),                # dt(_lr)
-            pl.BlockSpec((1, bl, N), lmapN),                       # B
-            pl.BlockSpec((1, bl, N), lmapN),                       # C
-            pl.BlockSpec((1, bl, bd), xmap),                       # gy
-            pl.BlockSpec((1, 1, bd, N), lambda r, l, d: (r, lrev(l), d, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bl, bd), xmap),                       # dx
-            pl.BlockSpec((1, bl, dt_cols), dt_map),                # ddt
-            pl.BlockSpec((1, bl, N), lmapN),                       # dB
-            pl.BlockSpec((1, bl, N), lmapN),                       # dC
-            pl.BlockSpec((D, N), lambda r, l, d: (0, 0)),          # dA acc
-            pl.BlockSpec((1, D), lambda r, l, d: (0, 0)),          # ddtb acc
-            pl.BlockSpec((1, D), lambda r, l, d: (0, 0)),          # dD acc
-            pl.BlockSpec((wdt.shape[1], D), lambda r, l, d: (0, 0)),  # dW acc
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, L, dt_cols), jnp.float32),
-            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
-            jax.ShapeDtypeStruct((D, N), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-            jax.ShapeDtypeStruct((wdt.shape[1], D), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nd, N, bd), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(dt_bias[:, None, :], A, Dskip[:, None, :], wdt,
-      xf, dtf, Bf, Cf, gyf, hb)
-    dx, ddt, dB, dC, dA, ddtb, dD, dW = outs
-    return (dx[None], ddt[None], dA[None], dB[None], dC[None],
-            dD.reshape(1, D), ddtb.reshape(1, D), dW[None])
+    )(*operands)
+    dx, ddt, dB, dC, dA, ddtb, dD, dW = outs[:8]
+    grads = (dx[None], ddt[None], dA[None], dB[None], dC[None],
+             dD.reshape(1, D), ddtb.reshape(1, D), dW[None])
+    return grads + (outs[8],) if emit_dh0 else grads
 
 
 def _pallas_scan_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
