@@ -106,8 +106,8 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
             dt_lr, wdt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dtp = jax.nn.softplus(dt + dtb[None, :])
-        a = jnp.exp2(dtp[:, None, :] * (At[None] * 1.4426950408889634))     # [bl, N, bd]
-        bv = (dtp * xg)[:, None, :] * Bm[..., None]
+        dtl = dtp * 1.4426950408889634                      # [bl, bd]
+        dtx = dtp * xg
 
         h0 = h_scr[di]
         steps = range(bl)
@@ -115,13 +115,15 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
             steps = reversed(list(steps))
         ys = []
         for t in steps:
-            h0 = a[t] * h0 + bv[t]
+            # decay/input terms form per step as VPU broadcasts, so the
+            # whole-chunk [bl, N, bd] a/b tensors never round-trip VMEM
+            # (+5%, tools/exp_inloop.py; forming them per-step as MXU outer
+            # products instead was measured 6x SLOWER)
+            at = jnp.exp2(dtl[t][None, :] * At)             # [N, bd]
+            h0 = Bm[t][:, None] * dtx[t][None, :] + at * h0
             # C-readout as a (1,N)x(N,bd) dot — on the otherwise-idle MXU
             # rather than the VPU the recurrence saturates, and each step's
             # state dies in registers instead of materialising [bl, N, bd].
-            # (Forming a/bv per-step on the MXU too was measured 6x SLOWER —
-            # the bulk exp2/outer-mul pipeline across the chunk is what keeps
-            # the VPU fed; see docs/DESIGN.md §5.)
             ys.append(jax.lax.dot_general(
                 Cm[t : t + 1], h0, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))        # [1, bd]

@@ -100,8 +100,16 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         hb_ref[:, 0] = jnp.swapaxes(h_scr[...], 1, 2)  # [bb, bd, N]
 
     dtp = jax.nn.softplus(dt + dtb[None, None, :])           # [bb, bl, bd]
-    a = jnp.exp2(dtp[:, :, None, :] * (At[None, None] * 1.4426950408889634))  # [bb, bl, N, bd]
-    b = (dtp * x)[:, :, None, :] * Bm[..., None]             # [bb, bl, N, bd]
+    mxu_readout = t_inner == 1 and bb == 1
+    if mxu_readout:
+        # decay/input terms form PER STEP inside the recurrence loop: the
+        # whole-chunk [bl, N, bd] a/b tensors never round-trip VMEM
+        # (write+read x2 per state saved; +5% on v5e, tools/exp_inloop.py)
+        dtl = dtp * 1.4426950408889634                       # [bb, bl, bd]
+        dtx = dtp * x                                        # [bb, bl, bd]
+    else:
+        a = jnp.exp2(dtp[:, :, None, :] * (At[None, None] * 1.4426950408889634))  # [bb, bl, N, bd]
+        b = (dtp * x)[:, :, None, :] * Bm[..., None]         # [bb, bl, N, bd]
 
     if t_inner > 1:
         assert not reverse, "reverse mode requires t_inner == 1"
@@ -128,20 +136,22 @@ def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     steps = range(0, bl, t_inner)
     if reverse:
         steps = reversed(list(steps))
-    mxu_readout = t_inner == 1 and bb == 1
     outs = []
     for c in steps:
-        hc = b[:, c : c + t_inner] + a[:, c : c + t_inner] * h0[:, None]
-        h0 = hc[:, t_inner - 1]
         if mxu_readout:
+            at = jnp.exp2(dtl[:, c][:, None, :] * At[None])  # [1, N, bd]
+            hc = Bm[:, c][:, :, None] * dtx[:, c][:, None, :] + at * h0
+            h0 = hc
             # C-readout as a (1,N)x(N,bd) dot: runs on the otherwise-idle
             # MXU instead of the VPU (which the recurrence saturates), and
             # the state hc dies in registers instead of materialising the
             # full [bb, bl, N, bd] chunk tensor for a second readout pass.
             outs.append(jax.lax.dot_general(
-                Cm[:, c], hc[0, 0], (((1,), (0,)), ((), ())),
+                Cm[:, c], hc[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))         # [1, bd]
         else:
+            hc = b[:, c : c + t_inner] + a[:, c : c + t_inner] * h0[:, None]
+            h0 = hc[:, t_inner - 1]
             outs.append(hc)
     h_scr[...] = h0
     if emit_hfin:
