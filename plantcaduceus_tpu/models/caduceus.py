@@ -249,23 +249,24 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
     z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
 
-    if (fused_inference and fused and tp_axis is None and xi.shape[0] == 1
-            and cfg.bidirectional_strategy == "add"):
-        # Whole-mixer-interior kernel (conv + x_proj + dt + scan fused,
-        # forward-only): one pallas_call per direction, VMEM-resident
-        # intermediates. See ops/pallas_mixer.py.
-        from plantcaduceus_tpu.ops.pallas_mixer import mixer_scan_fused
+    if (fused and tp_axis is None and xi.shape[0] == 1
+            and cfg.bidirectional_strategy == "add"
+            and not _USE_GATED_KERNEL):
+        # Whole-mixer-interior kernel (conv + x_proj + dt + scan fused):
+        # one pallas_call per direction, VMEM-resident intermediates. Fully
+        # differentiable — under grad the forward emits residuals and the
+        # backward chains the Pallas scan adjoint with the x_proj/conv
+        # transposes (ops/pallas_mixer.bimamba_mixer_fused), so neither the
+        # forward nor the remat recompute rebuilds the decomposed
+        # [B, L, d_inner] intermediates in HBM.
+        from plantcaduceus_tpu.ops.pallas_mixer import bimamba_mixer_fused
 
-        A_neg = -jnp.exp(p["A_log"])
-        ys = []
-        for g in range(G):
-            ys.append(mixer_scan_fused(
-                xi[0], p["conv_w"][g], p["conv_b"][g],
-                p["x_proj_dt"][g], p["x_proj_B"][g], p["x_proj_C"][g],
-                p["dt_proj_w"][g], p["dt_proj_b"][g], A_neg[g], p["D"][g],
-                reverse=(g == 1)))
-        y_sum = (ys[0] + ys[1] if G == 2 else ys[0]) * jax.nn.silu(z[0])
-        return _maybe_psum(y_sum @ p["out_proj"][0].astype(cdtype), tp_axis)
+        y_gated = bimamba_mixer_fused(
+            xi[0], z[0], p["conv_w"], p["conv_b"],
+            p["x_proj_dt"], p["x_proj_B"], p["x_proj_C"],
+            p["dt_proj_w"], p["dt_proj_b"], -jnp.exp(p["A_log"]), p["D"])
+        return _maybe_psum(y_gated.astype(cdtype)
+                           @ p["out_proj"][0].astype(cdtype), tp_axis)
 
     conv_w = p["conv_w"].astype(cdtype)
     conv_b = p["conv_b"].astype(cdtype)

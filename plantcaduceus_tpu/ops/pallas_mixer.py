@@ -40,8 +40,16 @@ DEF_BD = 256
 
 def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
                   wdt_ref, dtb_ref, A_ref, Dsk_ref, xi_ref,
-                  y_ref, xg_scr, dtlr_scr, B_scr, C_scr, halo_scr, h_scr,
-                  *, reverse: bool, K: int, Rk: int, N: int):
+                  y_ref, *rest, reverse: bool, K: int, Rk: int, N: int,
+                  emit_res: bool):
+    rest = list(rest)
+    if emit_res:
+        # residual outputs for the training backward (see
+        # bimamba_mixer_fused): pre-SiLU conv output, the f32 x_proj
+        # results, and the scan's chunk-entry states
+        acc_ref, dtlr_ref, Bout_ref, Cout_ref, hb_ref = rest[:5]
+        rest = rest[5:]
+    xg_scr, dtlr_scr, B_scr, C_scr, halo_scr, h_scr = rest
     li = pl.program_id(1)
     phase = pl.program_id(2)
     di = pl.program_id(3)
@@ -81,6 +89,9 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
             for k in range(K):
                 acc = acc + ext[k : k + bl] * w[k][None, :]
             halo_scr[di] = xi[bl - 8:]
+        if emit_res:
+            acc_ref[0] = acc.astype(acc_ref.dtype)          # pre-SiLU
+            hb_ref[0, 0] = h_scr[di].T                      # chunk entry
         xg = jax.nn.silu(acc)                               # [bl, bd]
         xg_scr[di] = xg
         dot = lambda w: jax.lax.dot_general(
@@ -92,6 +103,10 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
 
     @pl.when(phase == 1)
     def _scan():
+        if emit_res:
+            dtlr_ref[0] = dtlr_scr[...]
+            Bout_ref[0] = B_scr[...]
+            Cout_ref[0] = C_scr[...]
         xg = xg_scr[di]                                     # [bl, bd]
         bl, bd = xg.shape
         dt_lr = dtlr_scr[...]
@@ -148,8 +163,13 @@ def mixer_scan_fused(
     reverse: bool = False,
     bl: int = DEF_BL,
     bd: int = DEF_BD,
-) -> jax.Array:
-    """Forward-only fused mixer interior for one scan direction."""
+    emit_residuals: bool = False,
+):
+    """Fused mixer interior for one scan direction. With
+    ``emit_residuals`` also returns (acc, dt_lr, B, C, hb) — the pre-SiLU
+    conv output, f32 x_proj results (all natural time order) and the scan's
+    chunk-entry states (processing order, [B, L/bl, D, N]) — everything the
+    training backward needs without re-running conv/x_proj."""
     B, L, D = xi.shape
     N = w_B.shape[-1]
     Rk = w_dtlr.shape[-1]
@@ -183,8 +203,34 @@ def mixer_scan_fused(
     dmap = lambda b, l, p, d: (0, d)
     dmap3 = lambda b, l, p, d: (0, 0, d)
 
-    kernel = functools.partial(_mixer_kernel, reverse=reverse, K=K, Rk=Rk, N=N)
-    y = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, bl, bd), ymap)]
+    out_shape = [jax.ShapeDtypeStruct((B, L, D), xi.dtype)]
+    if emit_residuals:
+        # acc/hb write in phase 0 and park on their last block in phase 1;
+        # dt_lr/B/C write in phase 1 (their scratch completes with phase 0)
+        # and hold stale content through phase 0 — write-back only happens
+        # when the block index changes, i.e. after phase 1 refreshed them.
+        accmap = lambda b, l, p, d: (b, lmap(l), jnp.where(p == 0, d, nd - 1))
+        hbmap = lambda b, l, p, d: (b, l, jnp.where(p == 0, d, nd - 1), 0)
+        lowmap = lambda b, l, p, d: (b, lmap(l), 0)
+        out_specs += [
+            pl.BlockSpec((1, bl, bd), accmap),                     # acc
+            pl.BlockSpec((1, bl, Rk), lowmap),                     # dt_lr
+            pl.BlockSpec((1, bl, N), lowmap),                      # B
+            pl.BlockSpec((1, bl, N), lowmap),                      # C
+            pl.BlockSpec((1, 1, bd, N), hbmap),                    # hb
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, L, D), xi.dtype),
+            jax.ShapeDtypeStruct((B, L, Rk), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, nl, D, N), jnp.float32),
+        ]
+
+    kernel = functools.partial(_mixer_kernel, reverse=reverse, K=K, Rk=Rk,
+                               N=N, emit_res=emit_residuals)
+    res = pl.pallas_call(
         kernel,
         grid=(B, nl, 2, nd),
         in_specs=[
@@ -199,8 +245,8 @@ def mixer_scan_fused(
             pl.BlockSpec((1, 1, bd), dmap3),                          # Dskip
             pl.BlockSpec((1, bl, bd), ximap),                         # xi
         ],
-        out_specs=pl.BlockSpec((1, bl, bd), ymap),
-        out_shape=jax.ShapeDtypeStruct((B, L, D), xi.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((nd, bl, bd), jnp.float32),       # xg (conv out)
             pltpu.VMEM((bl, Rk), jnp.float32),           # dt_lr accumulator
@@ -215,4 +261,110 @@ def mixer_scan_fused(
     )(conv_w_rows[None], conv_b[None, None], w_dtlr[None], w_B[None],
       w_C[None], dt_proj_w[None], dt_bias[None, None], A[None],
       Dskip[None, None], xi)
-    return y
+    return res if emit_residuals else res[0]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused mixer (training path)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def bimamba_mixer_fused(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
+                        dt_proj_w, dt_bias, A, Dskip):
+    """Whole bidirectional mixer interior with tied in_proj and ``add``
+    combination: ``(scan_fwd(xi) + scan_rev(xi)) * silu(z)``. Per-direction
+    params are stacked on axis 0 ([2, ...]); ``A`` is the negative decay
+    matrix. Inference runs the plain fused kernel; under differentiation the
+    forward emits residuals so the backward never re-runs conv/x_proj — the
+    roadmap's "fused mixer under training" (the decomposed path rebuilt
+    those [B, L, d_inner] tensors both in the forward and in the remat
+    recompute)."""
+    ys = [
+        mixer_scan_fused(xi, conv_w[g], conv_b[g], w_dtlr[g], w_B[g],
+                         w_C[g], dt_proj_w[g], dt_bias[g], A[g], Dskip[g],
+                         reverse=(g == 1))
+        for g in range(2)
+    ]
+    return ((ys[0] + ys[1]).astype(jnp.float32)
+            * jax.nn.silu(z.astype(jnp.float32))).astype(xi.dtype)
+
+
+def _bimamba_mixer_fwd(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
+                       dt_proj_w, dt_bias, A, Dskip):
+    from plantcaduceus_tpu.ops.pallas_scan import TRAIN_BL
+
+    res = [
+        mixer_scan_fused(xi, conv_w[g], conv_b[g], w_dtlr[g], w_B[g],
+                         w_C[g], dt_proj_w[g], dt_bias[g], A[g], Dskip[g],
+                         reverse=(g == 1), bl=TRAIN_BL, emit_residuals=True)
+        for g in range(2)
+    ]
+    y_sum = (res[0][0] + res[1][0]).astype(jnp.float32)
+    out = (y_sum * jax.nn.silu(z.astype(jnp.float32))).astype(xi.dtype)
+    saved = (xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, dt_proj_w, dt_bias,
+             A, Dskip, y_sum, tuple(r[1:] for r in res))
+    return out, saved
+
+
+def _bimamba_mixer_bwd(saved, gy):
+    from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+    from plantcaduceus_tpu.ops.pallas_scan import (TRAIN_BL, DEF_BD,
+                                                   _pallas_bwd_group)
+
+    (xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, dt_proj_w, dt_bias, A, Dskip,
+     y_sum, res) = saved
+    f32 = jnp.float32
+    gy = gy.astype(f32)
+    zf = z.astype(f32)
+    sig = jax.lax.logistic(zf)
+    silu = zf * sig
+    dz = (gy * y_sum * (sig + silu * (1 - sig))).astype(z.dtype)
+    gy_scan = (gy * silu).astype(xi.dtype)
+
+    dxi = jnp.zeros(xi.shape, f32)
+    pw = []  # per-direction param grads
+    for g in range(2):
+        acc, dt_lr, Bm, Cm, hb = res[g]
+        flip = (lambda t: jnp.flip(t, axis=2)) if g == 1 else (lambda t: t)
+        accf = acc.astype(f32)
+        sig_a = jax.lax.logistic(accf)
+        xg = (accf * sig_a).astype(xi.dtype)                 # silu(acc)
+        out = _pallas_bwd_group(
+            flip(xg[None]), flip(dt_lr[None]), A[g : g + 1],
+            flip(Bm[None]), flip(Cm[None]), Dskip[g : g + 1],
+            dt_bias[g : g + 1], dt_proj_w[g : g + 1].astype(f32),
+            flip(gy_scan[None]), hb, TRAIN_BL, DEF_BD, True)
+        dxg, ddtlr, dA_g, dB, dC, dD_g, ddtb_g, dWdt_g = out
+        dxg, ddtlr, dB, dC = (flip(t)[0] for t in (dxg, ddtlr, dB, dC))
+
+        # x_proj chain: dt_lr/B/C = xg @ w_*
+        xgf = xg.astype(f32)
+        dxg_full = (dxg
+                    + jnp.einsum("blr,ir->bli", ddtlr, w_dtlr[g].astype(f32))
+                    + jnp.einsum("bln,in->bli", dB, w_B[g].astype(f32))
+                    + jnp.einsum("bln,in->bli", dC, w_C[g].astype(f32)))
+        dw_dtlr = jnp.einsum("bli,blr->ir", xgf, ddtlr)
+        dw_B = jnp.einsum("bli,bln->in", xgf, dB)
+        dw_C = jnp.einsum("bli,bln->in", xgf, dC)
+
+        # SiLU + depthwise-conv chain (conv is linear: vjp == transpose)
+        dacc = dxg_full * (sig_a * (1 + accf * (1 - sig_a)))
+        conv_fn = lambda x_, w_, b_: depthwise_conv_xla(
+            x_, w_, b_, activation=None, anticausal=(g == 1))
+        _, conv_vjp = jax.vjp(conv_fn, xi.astype(f32),
+                              conv_w[g].astype(f32), conv_b[g].astype(f32))
+        dxi_g, dcw_g, dcb_g = conv_vjp(dacc)
+        dxi = dxi + dxi_g
+        pw.append((dcw_g, dcb_g, dw_dtlr, dw_B, dw_C, dWdt_g[0],
+                   ddtb_g[0], dA_g[0], dD_g[0]))
+
+    stack = lambda i: jnp.stack([p[i] for p in pw])
+    return (dxi.astype(xi.dtype), dz,
+            stack(0).astype(conv_w.dtype), stack(1).astype(conv_b.dtype),
+            stack(2).astype(w_dtlr.dtype), stack(3).astype(w_B.dtype),
+            stack(4).astype(w_C.dtype), stack(5).astype(dt_proj_w.dtype),
+            stack(6).astype(dt_bias.dtype), stack(7).astype(A.dtype),
+            stack(8).astype(Dskip.dtype))
+
+
+bimamba_mixer_fused.defvjp(_bimamba_mixer_fwd, _bimamba_mixer_bwd)

@@ -193,3 +193,57 @@ def test_fused_mixer_inference_path(rng):
                                fused_inference=True)["logits"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_fused_mixer_training_grads(rng):
+    """bimamba_mixer_fused gradients == XLA AD through the decomposed JAX
+    formulation (conv + x_proj + scan + gate), every input and parameter."""
+    from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+    from plantcaduceus_tpu.ops.pallas_mixer import bimamba_mixer_fused
+    from plantcaduceus_tpu.ops.selective_scan import selective_scan_sequential
+
+    B, L, D, N, Rk, K = 2, 64, 16, 4, 8, 4
+    f32 = jnp.float32
+    xi = jnp.asarray(rng.standard_normal((B, L, D)), f32)
+    z = jnp.asarray(rng.standard_normal((B, L, D)), f32)
+    conv_w = jnp.asarray(rng.standard_normal((2, D, K)) * .5, f32)
+    conv_b = jnp.asarray(rng.standard_normal((2, D)) * .1, f32)
+    w_dtlr = jnp.asarray(rng.standard_normal((2, D, Rk)) * .3, f32)
+    w_B = jnp.asarray(rng.standard_normal((2, D, N)) * .3, f32)
+    w_C = jnp.asarray(rng.standard_normal((2, D, N)) * .3, f32)
+    w_dt = jnp.asarray(rng.standard_normal((2, Rk, D)) * .3, f32)
+    dtb = jnp.asarray(rng.standard_normal((2, D)) * .3, f32)
+    A = jnp.asarray(-np.exp(rng.standard_normal((2, D, N)) * .5), f32)
+    Ds = jnp.asarray(rng.standard_normal((2, D)), f32)
+    gw = jnp.asarray(rng.standard_normal((B, L, D)), f32)
+
+    args = (xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, w_dt, dtb, A, Ds)
+
+    def ref_loss(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, w_dt, dtb, A, Ds):
+        ys = []
+        for g in range(2):
+            xg = jax.nn.silu(depthwise_conv_xla(
+                xi, conv_w[g], conv_b[g], activation=None,
+                anticausal=(g == 1)))
+            dt = jnp.einsum("bli,ir->blr", xg, w_dtlr[g]) @ w_dt[g]
+            Bm = jnp.einsum("bli,in->bln", xg, w_B[g])
+            Cm = jnp.einsum("bli,in->bln", xg, w_C[g])
+            flip = (lambda t: jnp.flip(t, axis=2)) if g == 1 else (lambda t: t)
+            y = selective_scan_sequential(
+                flip(xg[None]), flip(dt[None]), A[g:g + 1], flip(Bm[None]),
+                flip(Cm[None]), Ds[g:g + 1], dt_bias=dtb[g:g + 1])
+            ys.append(flip(y)[0])
+        return jnp.sum((ys[0] + ys[1]) * jax.nn.silu(z) * gw)
+
+    def fused_loss(*a):
+        return jnp.sum(bimamba_mixer_fused(*a).astype(f32) * gw)
+
+    want = jax.grad(ref_loss, argnums=tuple(range(11)))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.grad(fused_loss, argnums=tuple(range(11))))(*args)
+
+    names = ["dxi", "dz", "dconv_w", "dconv_b", "dw_dtlr", "dw_B", "dw_C",
+             "dw_dt", "ddtb", "dA", "dD"]
+    for n, g, r in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=n)
