@@ -14,15 +14,18 @@ l20 batch 128):
       carry, C-contraction and D-skip — identical math to
       ops.pallas_scan's forward.
 
-Grid is (rows, L-chunks, phase, d-blocks); the phase-0 x input block and the
-phase-1 y output block use index maps that "park" on their previous block
-during the opposite phase so no redundant DMA or garbage write-back occurs.
+Grid is (rows, L-chunks + 1, d-blocks), SOFTWARE-PIPELINED across phases:
+step s runs phase 0 of chunk s and phase 1 of chunk s-1 in one kernel body
+(double-buffered scratch), so the VLIW scheduler can overlap the MXU
+conv/projection work with the serial VPU scan of the previous chunk. Edge
+steps clamp their index maps to "park" on a block whose next writer runs
+before any write-back.
 
 Not used under tensor parallelism (the x_proj contraction would need a
-cross-shard psum mid-kernel); the decomposed path remains for that and for
-the backward (this kernel is forward/inference-only — under differentiation
-the custom VJP falls back to the decomposed ops, whose Pallas backward is
-already chunk-local).
+cross-shard psum mid-kernel); the decomposed path remains for that.
+Differentiable: under grad the forward emits residuals and
+``bimamba_mixer_fused``'s VJP chains the Pallas scan backward with the
+x_proj / conv transposes.
 """
 
 from __future__ import annotations
@@ -50,24 +53,30 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
         acc_ref, dtlr_ref, Bout_ref, Cout_ref, hb_ref = rest[:5]
         rest = rest[5:]
     xg_scr, dtlr_scr, B_scr, C_scr, halo_scr, h_scr = rest
-    li = pl.program_id(1)
-    phase = pl.program_id(2)
-    di = pl.program_id(3)
-    nl = pl.num_programs(1)
+    # Software pipelining: grid step s does the MXU-heavy conv+projection
+    # work of chunk s AND the VPU-bound scan of chunk s-1 in ONE kernel
+    # body, so the VLIW scheduler can overlap them (the scan's serial
+    # h-dependency leaves the MXU mostly idle otherwise). Double-buffered
+    # (parity-indexed) xg/dt_lr/B/C scratch decouples the two chunks.
+    s = pl.program_id(1)
+    di = pl.program_id(2)
+    nl = pl.num_programs(1) - 1
+    par0 = jax.lax.rem(s, 2)
+    par1 = jax.lax.rem(s + 1, 2)  # == (s-1) % 2 for s > 0
 
-    @pl.when((li == 0) & (phase == 0))
+    @pl.when(s == 0)
     def _():
         h_scr[di] = jnp.zeros_like(h_scr[di])
         halo_scr[di] = jnp.zeros_like(halo_scr[di])
 
-    @pl.when((phase == 0) & (di == 0))
+    @pl.when((s < nl) & (di == 0))
     def _():
-        dtlr_scr[...] = jnp.zeros_like(dtlr_scr)
-        B_scr[...] = jnp.zeros_like(B_scr)
-        C_scr[...] = jnp.zeros_like(C_scr)
+        dtlr_scr[par0] = jnp.zeros_like(dtlr_scr[par0])
+        B_scr[par0] = jnp.zeros_like(B_scr[par0])
+        C_scr[par0] = jnp.zeros_like(C_scr[par0])
 
-    @pl.when(phase == 0)
-    def _conv_and_project():
+    @pl.when(s < nl)
+    def _conv_and_project():  # phase-0 work for processing chunk s
         xi = xi_ref[0].astype(jnp.float32)                  # [bl, bd]
         bl, bd = xi.shape
         w = convw_ref[0].astype(jnp.float32)                # [8, bd] row taps
@@ -91,27 +100,27 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
             halo_scr[di] = xi[bl - 8:]
         if emit_res:
             acc_ref[0] = acc.astype(acc_ref.dtype)          # pre-SiLU
-            hb_ref[0, 0] = h_scr[di].T                      # chunk entry
         xg = jax.nn.silu(acc)                               # [bl, bd]
-        xg_scr[di] = xg
+        xg_scr[par0, di] = xg
         dot = lambda w: jax.lax.dot_general(
             xg, w.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dtlr_scr[...] += dot(wdtlr_ref[0])
-        B_scr[...] += dot(wB_ref[0])
-        C_scr[...] += dot(wC_ref[0])
+        dtlr_scr[par0] += dot(wdtlr_ref[0])
+        B_scr[par0] += dot(wB_ref[0])
+        C_scr[par0] += dot(wC_ref[0])
 
-    @pl.when(phase == 1)
-    def _scan():
+    @pl.when(s > 0)
+    def _scan():  # phase-1 work for processing chunk s-1
         if emit_res:
-            dtlr_ref[0] = dtlr_scr[...]
-            Bout_ref[0] = B_scr[...]
-            Cout_ref[0] = C_scr[...]
-        xg = xg_scr[di]                                     # [bl, bd]
+            hb_ref[0, 0] = h_scr[di].T                      # chunk entry
+            dtlr_ref[0] = dtlr_scr[par1]
+            Bout_ref[0] = B_scr[par1]
+            Cout_ref[0] = C_scr[par1]
+        xg = xg_scr[par1, di]                               # [bl, bd]
         bl, bd = xg.shape
-        dt_lr = dtlr_scr[...]
-        Bm = B_scr[...]                                     # [bl, N]
-        Cm = C_scr[...]
+        dt_lr = dtlr_scr[par1]
+        Bm = B_scr[par1]                                    # [bl, N]
+        Cm = C_scr[par1]
         wdt = wdt_ref[0].astype(jnp.float32)                # [Rk, bd]
         dtb = dtb_ref[0, 0].astype(jnp.float32)
         At = A_ref[0].astype(jnp.float32).T                 # [N, bd]
@@ -188,31 +197,28 @@ def mixer_scan_fused(
     def lmap(l):
         return (nl - 1 - l) if reverse else l
 
-    def ximap(b, l, p, d):
-        # park on the last phase-0 block during phase 1 (no refetch)
-        return (b, lmap(l), jnp.where(p == 0, d, nd - 1))
+    # Pipelined grid (B, nl+1, nd): step s = conv/projection of chunk s +
+    # scan of chunk s-1. Index maps clamp at the two edge steps (s == 0 has
+    # no scan, s == nl no conv) by parking on a block whose next write
+    # happens before any write-back (block index unchanged in between).
+    def ximap(b, s, d):
+        return (b, lmap(jnp.minimum(s, nl - 1)),
+                jnp.where(s < nl, d, nd - 1))
 
-    def ymap(b, l, p, d):
-        # park on the previous phase-1 block during phase 0 (no writeback)
-        prev_l = lmap(jnp.maximum(l - 1, 0))
-        first = (l == 0) & (p == 0)
-        return (b,
-                jnp.where(p == 1, lmap(l), jnp.where(first, lmap(0), prev_l)),
-                jnp.where(p == 1, d, jnp.where(first, 0, nd - 1)))
+    def ymap(b, s, d):
+        return (b, lmap(jnp.maximum(s - 1, 0)), jnp.where(s > 0, d, 0))
 
-    dmap = lambda b, l, p, d: (0, d)
-    dmap3 = lambda b, l, p, d: (0, 0, d)
+    dmap3 = lambda b, s, d: (0, 0, d)
 
     out_specs = [pl.BlockSpec((1, bl, bd), ymap)]
     out_shape = [jax.ShapeDtypeStruct((B, L, D), xi.dtype)]
     if emit_residuals:
-        # acc/hb write in phase 0 and park on their last block in phase 1;
-        # dt_lr/B/C write in phase 1 (their scratch completes with phase 0)
-        # and hold stale content through phase 0 — write-back only happens
-        # when the block index changes, i.e. after phase 1 refreshed them.
-        accmap = lambda b, l, p, d: (b, lmap(l), jnp.where(p == 0, d, nd - 1))
-        hbmap = lambda b, l, p, d: (b, l, jnp.where(p == 0, d, nd - 1), 0)
-        lowmap = lambda b, l, p, d: (b, lmap(l), 0)
+        # acc writes with the conv (chunk s); hb/dt_lr/B/C write with the
+        # scan (chunk s-1, hb in processing order).
+        accmap = ximap
+        hbmap = lambda b, s, d: (b, jnp.maximum(s - 1, 0),
+                                 jnp.where(s > 0, d, 0), 0)
+        lowmap = lambda b, s, d: (b, lmap(jnp.maximum(s - 1, 0)), 0)
         out_specs += [
             pl.BlockSpec((1, bl, bd), accmap),                     # acc
             pl.BlockSpec((1, bl, Rk), lowmap),                     # dt_lr
@@ -232,31 +238,31 @@ def mixer_scan_fused(
                                N=N, emit_res=emit_residuals)
     res = pl.pallas_call(
         kernel,
-        grid=(B, nl, 2, nd),
+        grid=(B, nl + 1, nd),
         in_specs=[
-            pl.BlockSpec((1, 8, bd), lambda b, l, p, d: (0, 0, d)),   # conv_w
-            pl.BlockSpec((1, 1, bd), dmap3),                          # conv_b
-            pl.BlockSpec((1, bd, Rk), lambda b, l, p, d: (0, d, 0)),  # w_dtlr
-            pl.BlockSpec((1, bd, N), lambda b, l, p, d: (0, d, 0)),   # w_B
-            pl.BlockSpec((1, bd, N), lambda b, l, p, d: (0, d, 0)),   # w_C
-            pl.BlockSpec((1, Rk, bd), lambda b, l, p, d: (0, 0, d)),  # dt_proj
-            pl.BlockSpec((1, 1, bd), dmap3),                          # dt_bias
-            pl.BlockSpec((1, bd, N), lambda b, l, p, d: (0, d, 0)),   # A
-            pl.BlockSpec((1, 1, bd), dmap3),                          # Dskip
-            pl.BlockSpec((1, bl, bd), ximap),                         # xi
+            pl.BlockSpec((1, 8, bd), lambda b, s, d: (0, 0, d)),   # conv_w
+            pl.BlockSpec((1, 1, bd), dmap3),                       # conv_b
+            pl.BlockSpec((1, bd, Rk), lambda b, s, d: (0, d, 0)),  # w_dtlr
+            pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # w_B
+            pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # w_C
+            pl.BlockSpec((1, Rk, bd), lambda b, s, d: (0, 0, d)),  # dt_proj
+            pl.BlockSpec((1, 1, bd), dmap3),                       # dt_bias
+            pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # A
+            pl.BlockSpec((1, 1, bd), dmap3),                       # Dskip
+            pl.BlockSpec((1, bl, bd), ximap),                      # xi
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((nd, bl, bd), jnp.float32),       # xg (conv out)
-            pltpu.VMEM((bl, Rk), jnp.float32),           # dt_lr accumulator
-            pltpu.VMEM((bl, N), jnp.float32),            # B accumulator
-            pltpu.VMEM((bl, N), jnp.float32),            # C accumulator
+            pltpu.VMEM((2, nd, bl, bd), jnp.float32),    # xg (parity-buffered)
+            pltpu.VMEM((2, bl, Rk), jnp.float32),        # dt_lr accumulator
+            pltpu.VMEM((2, bl, N), jnp.float32),         # B accumulator
+            pltpu.VMEM((2, bl, N), jnp.float32),         # C accumulator
             pltpu.VMEM((nd, 8, bd), jnp.float32),        # conv halo (8-row aligned)
             pltpu.VMEM((nd, N, bd), jnp.float32),        # scan carry
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * 4,
+            dimension_semantics=("arbitrary",) * 3,
         ),
     )(conv_w_rows[None], conv_b[None, None], w_dtlr[None], w_B[None],
       w_C[None], dt_proj_w[None], dt_bias[None, None], A[None],

@@ -26,19 +26,23 @@ def measure(model: str, n_windows: int, batch: int) -> float:
     from plantcaduceus_tpu.models.config import CaduceusConfig
     from plantcaduceus_tpu.utils.model_loading import init_params_host
 
+    window = 8192 if model.startswith("pc2") else 512
+    if model.startswith("pc2"):
+        batch = min(batch, 16)  # 8192-bp windows: keep activations in HBM
     cfg = CaduceusConfig.preset(model)
     params = init_params_host(cfg)
     tok = DnaTokenizer()
     runner = InferenceRunner(params, cfg, dtype=jnp.bfloat16, batch_size=batch)
 
     rng = np.random.default_rng(0)
-    ids = rng.integers(7, 11, size=(n_windows, 512)).astype(np.int32)
-    ids[:, 255] = tok.mask_token_id
+    ids = rng.integers(7, 11, size=(n_windows, window)).astype(np.int32)
+    pos = window // 2 - 1
+    ids[:, pos] = tok.mask_token_id
     nuc = [7, 8, 9, 10]
 
-    runner.masked_probs(ids[:batch], nuc, 255, progress=False)  # compile
+    runner.masked_probs(ids[:batch], nuc, pos, progress=False)  # compile
     t0 = time.time()
-    probs = runner.masked_probs(ids, nuc, 255, progress=False)
+    probs = runner.masked_probs(ids, nuc, pos, progress=False)
     dt = time.time() - t0
     assert probs.shape == (n_windows, 4) and np.isfinite(probs).all()
     return n_windows / dt
