@@ -8,12 +8,13 @@ state lives in VMEM.
 
 Layout and scheduling (tuned on TPU v5e, tools/sweep_scan.py):
 
-* Compute tensors are ``[bb, T, N, bd]``: the channel block (bd) rides the
-  128-wide lane dimension, the small state axis N sits on sublanes. The v5e
-  sweep shows the kernel is *throughput*-bound at the fp32 VPU peak
-  (~230 Gstates/s ≈ 1.9 TFLOP/s at ~8 fp32 ops/state): bb=1 with a large
-  time block (bl=256, bd=256) is fastest; Hillis-Steele windows (t_inner>1)
-  lose — their 3*log2(T) extra vector ops cost more than any latency hidden.
+* Compute tensors are ``[N, bd]`` per step: the channel block (bd) rides
+  the 128-wide lane dimension, the small state axis N sits on sublanes. The
+  kernel is *throughput*-bound at the fp32 VPU issue rate (~754 Gstates/s
+  at ~5 ops/state after the MXU C-readout and per-step a/b formation —
+  docs/DESIGN.md §5): bb=1 with bl=512, bd=256 is fastest; Hillis-Steele
+  windows (t_inner>1) lose — their 3*log2(T) extra vector ops cost more
+  than any latency hidden.
 * Grid is (rows/bb, D/bd, L/bl) with the L axis innermost; the fp32 carry
   persists across L-chunks in a VMEM scratch (TPU grid iteration is
   sequential over the innermost dim).
