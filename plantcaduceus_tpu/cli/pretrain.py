@@ -64,6 +64,8 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
+    p.add_argument("--seq", type=int, default=1,
+                   help="sequence(context)-parallel mesh axis size")
     p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace dir (traces steps 10-13)")
@@ -90,6 +92,7 @@ def main(argv=None):
     tokenizer = DnaTokenizer()
     params = caduceus.init_params(jax.random.PRNGKey(args.seed), cfg)
     mesh = meshlib.make_mesh(meshlib.MeshConfig(fsdp=args.fsdp,
+                                                seq=args.seq,
                                                 tensor=args.tensor))
     logging.info("mesh: %s", dict(mesh.shape))
 
@@ -99,8 +102,21 @@ def main(argv=None):
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
         params=params)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    remat = not args.no_remat
+    interpret_ctx = None
+    if args.seq > 1 and jax.default_backend() != "tpu":
+        # Context parallelism needs the Pallas scan; off-TPU (CPU smoke
+        # runs) that means interpret mode, whose io_callback cannot live
+        # under jax.checkpoint — force remat off too.
+        from jax.experimental.pallas import tpu as pltpu
+
+        interpret_ctx = pltpu.force_tpu_interpret_mode()
+        interpret_ctx.__enter__()
+        if remat:
+            logging.info("seq>1 off-TPU: pallas interpret mode, remat off")
+            remat = False
     init_state, train_step, eval_step = step_lib.make_train_step(
-        cfg, optimizer, mesh, params, dtype=dtype, remat=not args.no_remat)
+        cfg, optimizer, mesh, params, dtype=dtype, remat=remat)
     state = init_state(params)
 
     ckpt = ckpt_lib.CheckpointManager(args.output_dir,

@@ -133,10 +133,23 @@ def init_params(rng: jax.Array, cfg: CaduceusConfig, dtype=jnp.float32) -> Param
 # ---------------------------------------------------------------------------
 
 
-def rc_ids(input_ids: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+def _sp_flip(x: jax.Array, sp_axis: Optional[str], sp_shards: int,
+             axis: int) -> jax.Array:
+    """Flip a (possibly sequence-sharded) axis globally: local flip plus a
+    shard-order reversal ppermute. With ``sp_axis=None`` it is jnp.flip.
+    Differentiable (the transpose of a ppermute is the reverse ppermute)."""
+    x = jnp.flip(x, axis=axis)
+    if sp_axis is None or sp_shards == 1:
+        return x
+    return jax.lax.ppermute(
+        x, sp_axis, [(i, sp_shards - 1 - i) for i in range(sp_shards)])
+
+
+def rc_ids(input_ids: jax.Array, cfg: CaduceusConfig,
+           sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
     """Reverse-complement token ids: complement map then reverse along L."""
     cmap = jnp.asarray(cfg.complement_map, jnp.int32)
-    return jnp.flip(cmap[input_ids], axis=-1)
+    return _sp_flip(cmap[input_ids], sp_axis, sp_shards, axis=-1)
 
 
 def _norm(x, w, cfg):
@@ -220,7 +233,8 @@ _tp_boundary.defvjp(_tp_boundary_fwd, _tp_boundary_bwd)
 
 def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                 tp_axis: Optional[str] = None,
-                fused_inference: bool = False) -> jax.Array:
+                fused_inference: bool = False,
+                sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
     """One (Bi)Mamba mixer over ``x: [B, L, d]`` (B may include folded
     streams). ``p`` holds a single layer's parameters (no n_layer axis).
 
@@ -228,6 +242,12 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     holds d_inner-sharded parameters; the contractions over d_inner
     (x_proj_dt/B/C and out_proj) psum partial results over that axis. All
     other mixer ops are elementwise in d_inner and stay local.
+
+    Sequence (context) parallelism: when ``sp_axis`` names a mesh axis over
+    which the L axis is sharded, the conv exchanges a K-1-row halo with the
+    neighbouring shard (ppermute) and the scan runs the two-pass
+    scan-correct sharded kernel (ops/seq_parallel.py). Requires the pallas
+    impl, bidirectional ``add``, tied in_proj, and no tensor axis.
     """
     G = cfg.n_directions
     N, R = cfg.d_state, cfg.dt_rank
@@ -238,6 +258,11 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     impl = cfg.scan_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "associative"
+    if impl == "pallas" and jax.default_backend() == "tpu" and (
+            x.shape[1] % 128 or p["in_proj_x"].shape[-1] % 128):
+        # Mosaic needs the time and d_inner tiles lane-aligned (128); only
+        # tiny smoke configs miss this — all presets are multiples of 128.
+        impl = "associative"
     # Flip-free bidirectional path: the reverse direction uses an anticausal
     # conv (== flip∘causal-conv∘flip, computed without the flips) and scans
     # right-to-left natively inside the Pallas kernel, so no [.., L, d_inner]
@@ -248,6 +273,53 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
     xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
     z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
+
+    if sp_axis is not None:
+        # Context-parallel mixer: decomposed conv with halo exchange + the
+        # sequence-sharded selective scan. Fully differentiable (the halo
+        # ppermutes and the seq-sharded scan's VJP compose under shard_map).
+        if not (fused and tp_axis is None and xi.shape[0] == 1
+                and cfg.bidirectional_strategy == "add"):
+            raise NotImplementedError(
+                "sequence parallelism needs the pallas impl, bidirectional "
+                "'add', tied in_proj, and no tensor axis")
+        from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+        from plantcaduceus_tpu.ops.seq_parallel import (
+            selective_scan_seq_sharded)
+
+        conv_w = p["conv_w"].astype(cdtype)
+        conv_b = p["conv_b"].astype(cdtype)
+        K = conv_w.shape[-1]
+        xgs = []
+        for g in range(G):
+            anti = g == 1
+            if anti:  # halo = next shard's first K-1 rows (anticausal)
+                halo = jax.lax.ppermute(
+                    xi[0][:, : K - 1], sp_axis,
+                    [(i, i - 1) for i in range(1, sp_shards)])
+                ext = jnp.concatenate([xi[0], halo], axis=1)
+                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
+                                          activation="silu",
+                                          anticausal=True)[:, : xi.shape[2]]
+            else:     # halo = previous shard's last K-1 rows (causal)
+                halo = jax.lax.ppermute(
+                    xi[0][:, -(K - 1):], sp_axis,
+                    [(i, i + 1) for i in range(sp_shards - 1)])
+                ext = jnp.concatenate([halo, xi[0]], axis=1)
+                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
+                                          activation="silu")[:, K - 1:]
+            xgs.append(xg_g)
+        xg = jnp.stack(xgs)  # [2, B, Llocal, di], natural time order
+        dt_lr = jnp.einsum("gbli,gir->gblr", xg, p["x_proj_dt"].astype(cdtype))
+        Bm = jnp.einsum("gbli,gin->gbln", xg, p["x_proj_B"].astype(cdtype))
+        Cm = jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype))
+        y = selective_scan_seq_sharded(
+            xg, dt_lr, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
+            p["dt_proj_b"], p["dt_proj_w"].astype(jnp.float32),
+            sp_axis, sp_shards, directions=(False, True))
+        y_sum = (y[0] + y[1]).astype(jnp.float32) \
+            * jax.nn.silu(z[0].astype(jnp.float32))
+        return y_sum.astype(cdtype) @ p["out_proj"][0].astype(cdtype)
 
     if (fused and tp_axis is None and xi.shape[0] == 1
             and cfg.bidirectional_strategy == "add"
@@ -356,7 +428,8 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 
 def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
              dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
-             remat: bool = False, fused_inference: bool = False) -> jax.Array:
+             remat: bool = False, fused_inference: bool = False,
+             sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
     """Run embedding + n_layer blocks + final norm.
 
     Returns the *working-frame* hidden states ``[S*B, L, d]`` where S=2 when
@@ -365,7 +438,8 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
     """
     ids = input_ids
     if cfg.rcps:
-        ids = jnp.concatenate([input_ids, rc_ids(input_ids, cfg)], axis=0)
+        ids = jnp.concatenate(
+            [input_ids, rc_ids(input_ids, cfg, sp_axis, sp_shards)], axis=0)
     emb = params["embedding"].astype(dtype)
     hidden = emb[ids]  # [SB, L, d]
 
@@ -376,7 +450,8 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
     def block_fn(res, lp):
         normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
         out = mamba_mixer(lp, normed, cfg, tp_axis=tp_axis,
-                          fused_inference=fused_inference)
+                          fused_inference=fused_inference,
+                          sp_axis=sp_axis, sp_shards=sp_shards)
         return res + out.astype(res.dtype), None
 
     if remat:
@@ -388,7 +463,9 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
     return _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
 
 
-def readout_hidden(h_work: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+def readout_hidden(h_work: jax.Array, cfg: CaduceusConfig,
+                   sp_axis: Optional[str] = None,
+                   sp_shards: int = 1) -> jax.Array:
     """Working-frame ``[S*B, L, d]`` -> HF-contract hidden states.
 
     For rcps: ``[B, L, 2d]`` where channels ``d:`` are the RC stream in its
@@ -399,11 +476,12 @@ def readout_hidden(h_work: jax.Array, cfg: CaduceusConfig) -> jax.Array:
         return h_work
     B = h_work.shape[0] // 2
     fwd, rc = h_work[:B], h_work[B:]
-    rc_stored = jnp.flip(rc, axis=(1, 2))
+    rc_stored = jnp.flip(_sp_flip(rc, sp_axis, sp_shards, axis=1), axis=2)
     return jnp.concatenate([fwd, rc_stored], axis=-1)
 
 
-def lm_logits(params: Params, h_work: jax.Array, cfg: CaduceusConfig) -> jax.Array:
+def lm_logits(params: Params, h_work: jax.Array, cfg: CaduceusConfig,
+              sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
     """MLM head. RCPS head: fwd logits + complement-permuted, time-flipped RC
     logits (equivalent to the torch RCPSLMHead applied to the stored frame)."""
     W = params.get("lm_head", params["embedding"]).astype(h_work.dtype)
@@ -413,7 +491,7 @@ def lm_logits(params: Params, h_work: jax.Array, cfg: CaduceusConfig) -> jax.Arr
     B = logits.shape[0] // 2
     fwd = logits[:B]
     cmap = jnp.asarray(cfg.complement_map, jnp.int32)
-    rc = jnp.flip(logits[B:], axis=1)[..., cmap]
+    rc = _sp_flip(logits[B:], sp_axis, sp_shards, axis=1)[..., cmap]
     out = fwd + rc
     if cfg.lm_head_strategy == "mean":
         out = out * 0.5
@@ -429,16 +507,22 @@ def forward(
     tp_axis: Optional[str] = None,
     remat: bool = False,
     fused_inference: bool = False,
+    sp_axis: Optional[str] = None,
+    sp_shards: int = 1,
 ) -> Dict[str, jax.Array]:
     """Full masked-LM forward. Returns dict with ``logits`` and optionally
     ``hidden_states`` (final layer only — the entry the reference reads).
-    ``fused_inference`` enables the forward-only whole-mixer kernel (no
-    gradients; the inference engine sets it)."""
+    ``fused_inference`` selects the whole-mixer kernel (the inference engine
+    sets it; the kernel is also used under training). ``sp_axis``/``sp_shards``
+    enable context parallelism: call inside shard_map with the L axis of
+    ``input_ids`` sharded over that mesh axis; logits come back sharded the
+    same way."""
     h_work = backbone(params, input_ids, cfg, dtype=dtype, tp_axis=tp_axis,
-                      remat=remat, fused_inference=fused_inference)
-    out = {"logits": lm_logits(params, h_work, cfg)}
+                      remat=remat, fused_inference=fused_inference,
+                      sp_axis=sp_axis, sp_shards=sp_shards)
+    out = {"logits": lm_logits(params, h_work, cfg, sp_axis, sp_shards)}
     if output_hidden_states:
-        out["hidden_states"] = readout_hidden(h_work, cfg)
+        out["hidden_states"] = readout_hidden(h_work, cfg, sp_axis, sp_shards)
     return out
 
 

@@ -5,6 +5,8 @@ One mechanism replaces the reference's three torch DDP wrappers + NCCL
 
     data   — batch/data parallel (gradient psum, inference fan-out)
     fsdp   — optional parameter/optimizer-state sharding (ZeRO-style)
+    seq    — optional sequence/context parallel over the L axis (halo
+             ppermutes + the two-pass sharded scan; models/caduceus.py)
     tensor — optional tensor parallel over the d_inner axis of the mixer
 
 Collectives are inserted by GSPMD from sharding annotations; they ride ICI
@@ -25,31 +27,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1      # -1: all remaining devices
     fsdp: int = 1
+    seq: int = 1
     tensor: int = 1
 
-    def resolve(self, n_devices: int) -> Tuple[int, int, int]:
-        fixed = self.fsdp * self.tensor
+    def resolve(self, n_devices: int) -> Tuple[int, int, int, int]:
+        fixed = self.fsdp * self.seq * self.tensor
         data = self.data
         if data == -1:
             if n_devices % fixed != 0:
                 raise ValueError(
-                    f"{n_devices} devices not divisible by fsdp*tensor={fixed}"
-                )
+                    f"{n_devices} devices not divisible by "
+                    f"fsdp*seq*tensor={fixed}")
             data = n_devices // fixed
         if data * fixed != n_devices:
             raise ValueError(
-                f"mesh {data}x{self.fsdp}x{self.tensor} != {n_devices} devices"
-            )
-        return data, self.fsdp, self.tensor
+                f"mesh {data}x{self.fsdp}x{self.seq}x{self.tensor} "
+                f"!= {n_devices} devices")
+        return data, self.fsdp, self.seq, self.tensor
 
 
 def make_mesh(config: Optional[MeshConfig] = None,
               devices=None) -> Mesh:
-    """Build the (data, fsdp, tensor) mesh over all (or given) devices."""
+    """Build the (data, fsdp, seq, tensor) mesh over all (or given) devices."""
     config = config or MeshConfig()
     devices = np.asarray(devices if devices is not None else jax.devices())
-    d, f, t = config.resolve(devices.size)
-    return Mesh(devices.reshape(d, f, t), ("data", "fsdp", "tensor"))
+    d, f, s, t = config.resolve(devices.size)
+    return Mesh(devices.reshape(d, f, s, t), ("data", "fsdp", "seq", "tensor"))
 
 
 def initialize_distributed() -> None:
@@ -131,9 +134,17 @@ def shard_params(params, mesh: Mesh, replicated: bool = True):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place host arrays onto the mesh, sharded along the batch axis."""
-    sharding = NamedSharding(mesh, batch_spec())
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    """Place host arrays onto the mesh, sharded along the batch axis (and,
+    when the mesh has a non-trivial seq axis, along the length axis of 2-D
+    [B, L] arrays — matching the train step's context-parallel in_specs)."""
+    sp = mesh.shape.get("seq", 1) > 1
+    b = NamedSharding(mesh, batch_spec())
+    bl = NamedSharding(mesh, P(("data", "fsdp"), "seq"))
+
+    def place(a):
+        return jax.device_put(a, bl if (sp and a.ndim == 2) else b)
+
+    return jax.tree.map(place, batch)
 
 
 def process_shard(n_items: int) -> slice:

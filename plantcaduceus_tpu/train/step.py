@@ -61,13 +61,17 @@ def _gather_fsdp(params, specs):
     return jax.tree.map(g, params, specs, is_leaf=lambda x: isinstance(x, P))
 
 
-def _sync_grads(grads, specs):
-    """Sum over batch axes; reduce-scatter back onto fsdp shards."""
+def _sync_grads(grads, specs, extra_axes=()):
+    """Sum over batch (+ any sequence) axes; reduce-scatter back onto fsdp
+    shards. ``extra_axes`` names mesh axes (e.g. 'seq') whose shards hold
+    partial parameter gradients that must also be summed."""
+    extra_axes = tuple(extra_axes)
+
     def s(g, spec):
         fsdp_axis = next((i for i, ax in enumerate(spec) if ax == "fsdp"), None)
         if fsdp_axis is None:
-            return jax.lax.psum(g, BATCH_AXES)
-        g = jax.lax.psum(g, "data")
+            return jax.lax.psum(g, BATCH_AXES + extra_axes)
+        g = jax.lax.psum(g, ("data",) + extra_axes)
         return jax.lax.psum_scatter(g, "fsdp", scatter_dimension=fsdp_axis,
                                     tiled=True)
     return jax.tree.map(s, grads, specs, is_leaf=lambda x: isinstance(x, P))
@@ -80,6 +84,15 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
     bypassed entirely — measured ~1 s/step of overhead on the remote TPU."""
     tp = mesh.shape.get("tensor", 1) > 1
     tp_axis = "tensor" if tp else None
+    sp_shards = mesh.shape.get("seq", 1)
+    sp = sp_shards > 1
+    sp_axis = "seq" if sp else None
+    if sp and tp:
+        raise ValueError("sequence and tensor parallelism cannot be combined "
+                         "(the context-parallel mixer needs unsharded d_inner)")
+    # Scalars (loss, metrics) and replicated-param grads are partial over the
+    # sequence shards too: include 'seq' in their reduction axes.
+    loss_axes = BATCH_AXES + (("seq",) if sp else ())
     single = mesh.size == 1
 
     def psum(v, axes):
@@ -93,12 +106,13 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
         w_local = valid.astype(jnp.float32)
         if "loss_weights" in batch:
             w_local = w_local * batch["loss_weights"].astype(jnp.float32)
-        W = jnp.maximum(psum(jnp.sum(w_local), BATCH_AXES), 1e-8)
+        W = jnp.maximum(psum(jnp.sum(w_local), loss_axes), 1e-8)
 
         def loss_fn(params_full):
             out = caduceus.forward(
                 params_full, batch["input_ids"], cfg, dtype=dtype,
                 tp_axis=tp_axis, remat=remat,
+                sp_axis=sp_axis, sp_shards=sp_shards,
             )
             nll, _ = _loss_sums(out["logits"], batch["labels"],
                                 batch.get("loss_weights"))
@@ -110,20 +124,22 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
         (local_obj, logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params_full)
         if not single:
-            grads = _sync_grads(grads, param_specs)
-        loss = psum(local_obj, BATCH_AXES)
+            grads = _sync_grads(grads, param_specs,
+                                extra_axes=("seq",) if sp else ())
+        loss = psum(local_obj, loss_axes)
 
         # masked-token accuracy (metric parity: MaskedAccuracy ignore -100)
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == batch["labels"]) & valid)
-        acc = psum(correct, BATCH_AXES) / jnp.maximum(
-            psum(jnp.sum(valid), BATCH_AXES), 1)
+        acc = psum(correct, loss_axes) / jnp.maximum(
+            psum(jnp.sum(valid), loss_axes), 1)
         return loss, acc, grads
 
+    seq_dim = "seq" if sp else None
     batch_spec = {
-        "input_ids": P(BATCH_AXES),
-        "labels": P(BATCH_AXES),
-        "loss_weights": P(BATCH_AXES),
+        "input_ids": P(BATCH_AXES, seq_dim),
+        "labels": P(BATCH_AXES, seq_dim),
+        "loss_weights": P(BATCH_AXES, seq_dim),
     }
 
     def grad_fn(params, batch):
@@ -162,9 +178,14 @@ def make_train_step(
     grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat)
 
     def init_state(params) -> TrainState:
-        params = jax.tree.map(
-            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
-            params, pspecs, is_leaf=lambda x: isinstance(x, P))
+        # Jitted identity copy (NOT device_put): train_step donates the
+        # state, and device_put aliases the source buffer into the matching
+        # shard of the output even with may_alias=False — donating that
+        # output would delete the caller's params. jit without donation
+        # always materialises fresh output buffers.
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                                 is_leaf=lambda x: isinstance(x, P))
+        params = jax.jit(lambda t: t, out_shardings=shardings)(params)
         opt_state = jax.jit(optimizer.init)(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
@@ -180,13 +201,18 @@ def make_train_step(
 
     single = mesh.size == 1
     tp_axis = "tensor" if mesh.shape.get("tensor", 1) > 1 else None
+    sp_shards = mesh.shape.get("seq", 1)
+    sp = sp_shards > 1
+    loss_axes = BATCH_AXES + (("seq",) if sp else ())
 
     def local_eval(params, batch):
         # forward-only (no gradients)
         psum = (lambda v: v) if single else \
-            (lambda v: jax.lax.psum(v, BATCH_AXES))
+            (lambda v: jax.lax.psum(v, loss_axes))
         out = caduceus.forward(params, batch["input_ids"], cfg, dtype=dtype,
-                               tp_axis=tp_axis)
+                               tp_axis=tp_axis,
+                               sp_axis="seq" if sp else None,
+                               sp_shards=sp_shards)
         nll, w = _loss_sums(out["logits"], batch["labels"],
                             batch.get("loss_weights"))
         loss = psum(nll) / jnp.maximum(psum(w), 1e-8)
@@ -207,7 +233,9 @@ def make_train_step(
 
         return jax.shard_map(
             gathered_eval, mesh=mesh,
-            in_specs=(pspecs, {k: P(BATCH_AXES) for k in batch}),
+            in_specs=(pspecs,
+                      {k: P(BATCH_AXES, "seq" if sp else None)
+                       for k in batch}),
             out_specs={"loss": P(), "accuracy": P()},
             check_vma=False,
         )(state.params, batch)

@@ -149,3 +149,150 @@ def test_seq_sharded_grads_fused_dtproj(rng):
     for n, g, r in zip(["dx", "ddt_lr", "dW"], got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-3, atol=2e-3, err_msg=n)
+
+
+def test_model_forward_context_parallel(rng):
+    """Full Caduceus forward (RCPS + bidirectional) with the sequence axis
+    sharded over a 4-device mesh == the single-device forward: the RC-stream
+    global flips (ppermute), the conv halo exchange, and the two-pass scan
+    all compose correctly."""
+    import functools as ft
+
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+
+    n_seq = 4
+    cfg = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4,
+                         scan_impl="pallas")
+    cfg_ref = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4,
+                             scan_impl="associative")
+    params = jax.jit(ft.partial(caduceus.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.integers(7, 11, size=(2, 128)), jnp.int32)
+
+    want = caduceus.forward(params, ids, cfg_ref, dtype=jnp.float32)["logits"]
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_seq]), ("seq",))
+
+    def local(params, ids):
+        return caduceus.forward(params, ids, cfg, dtype=jnp.float32,
+                                sp_axis="seq", sp_shards=n_seq)["logits"]
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(None, "seq")),
+                      out_specs=P(None, "seq"), check_vma=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(f)(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_model_grads_context_parallel(rng):
+    """MLM-loss gradients through the context-parallel forward match the
+    single-device gradients (spot-checked on embedding + one mixer's
+    conv/x_proj/A params)."""
+    import functools as ft
+
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+
+    n_seq = 4
+    cfg = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4,
+                         scan_impl="pallas")
+    cfg_ref = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4,
+                             scan_impl="associative")
+    params = jax.jit(ft.partial(caduceus.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    ids = np.asarray(rng.integers(7, 11, size=(2, 128)), np.int32)
+    labels = np.where(rng.random(ids.shape) < 0.3, ids, -100).astype(np.int32)
+    ids, labels = jnp.asarray(ids), jnp.asarray(labels)
+
+    def ref_loss(params):
+        out = caduceus.forward(params, ids, cfg_ref, dtype=jnp.float32)
+        return caduceus.mlm_loss(out["logits"], labels)
+
+    want = jax.grad(ref_loss)(params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_seq]), ("seq",))
+
+    def sp_loss(params):
+        def local(params, ids, labels):
+            out = caduceus.forward(params, ids, cfg, dtype=jnp.float32,
+                                   sp_axis="seq", sp_shards=n_seq)
+            # globally-normalised weighted CE: psum numerator + denominator
+            valid = labels != -100
+            safe = jnp.where(valid, labels, 0)
+            logp = jax.nn.log_softmax(out["logits"].astype(jnp.float32), -1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+            w = valid.astype(jnp.float32)
+            num = jax.lax.psum(jnp.sum(nll * w), "seq")
+            den = jax.lax.psum(jnp.sum(w), "seq")
+            return num / jnp.maximum(den, 1e-8)
+
+        f = jax.shard_map(local, mesh=mesh,
+                          in_specs=(P(), P(None, "seq"), P(None, "seq")),
+                          out_specs=P(), check_vma=False)
+        return f(params, ids, labels)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(jax.jit(sp_loss))(params)
+
+    for path in (("embedding",), ("blocks", "conv_w"), ("blocks", "A_log"),
+                 ("blocks", "x_proj_B"), ("blocks", "dt_proj_w"),
+                 ("blocks", "in_proj_x"), ("blocks", "out_proj")):
+        g, r = got, want
+        for k in path:
+            g, r = g[k], r[k]
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=3e-3, atol=3e-3,
+                                   err_msg="/".join(path))
+
+
+def test_train_step_context_parallel(rng):
+    """make_train_step on a (data=2, seq=4) mesh == a pure-DP (data=8) mesh:
+    one optimizer step from identical params/batch yields the same loss,
+    accuracy, and updated parameters."""
+    import optax
+
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+    from plantcaduceus_tpu.parallel import mesh as meshlib
+    from plantcaduceus_tpu.train import step as step_lib
+
+    cfg = CaduceusConfig(d_model=16, n_layer=2, vocab_size=16, d_state=4,
+                         scan_impl="pallas")
+    params = jax.jit(functools.partial(caduceus.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    B, L = 8, 64
+    ids = rng.integers(7, 11, size=(B, L)).astype(np.int32)
+    labels = np.where(rng.random((B, L)) < 0.3, ids, -100).astype(np.int32)
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+             "loss_weights": jnp.ones((B, L), jnp.float32)}
+
+    def run(mesh_cfg):
+        mesh = meshlib.make_mesh(mesh_cfg)
+        # remat=False: interpret-mode pallas is an io_callback, whose effect
+        # cannot live under jax.checkpoint (real-TPU remat is fine).
+        init_state, train_step, eval_step = step_lib.make_train_step(
+            cfg, optax.sgd(1e-2), mesh, params, dtype=jnp.float32,
+            remat=False, fsdp=False)
+        state = init_state(params)
+        with pltpu.force_tpu_interpret_mode():
+            state, metrics = train_step(state, batch)
+            ev = eval_step(state, batch)
+        return state, metrics, ev
+
+    state_dp, m_dp, ev_dp = run(meshlib.MeshConfig(data=8))
+    state_sp, m_sp, ev_sp = run(meshlib.MeshConfig(data=2, seq=4))
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_sp["accuracy"]),
+                               float(m_dp["accuracy"]), rtol=1e-6)
+    np.testing.assert_allclose(float(ev_sp["loss"]), float(ev_dp["loss"]),
+                               rtol=1e-4)
+    flat_dp = jax.tree.leaves(state_dp.params)
+    flat_sp = jax.tree.leaves(state_sp.params)
+    for a, b in zip(flat_sp, flat_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
