@@ -187,7 +187,7 @@ def main(argv=None):
         args.max_steps,
         log_every=args.log_steps, eval_every=args.eval_steps,
         ckpt=ckpt, wandb_run=wandb_run, tokens_per_step=tokens_per_step,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir, mesh=mesh)
 
     # Final standalone export for the inference CLIs.
     params_host = jax.device_get(state.params)

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import warnings
 from typing import Any, Dict, Optional
 
 import jax
@@ -246,8 +247,9 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     Sequence (context) parallelism: when ``sp_axis`` names a mesh axis over
     which the L axis is sharded, the conv exchanges a K-1-row halo with the
     neighbouring shard (ppermute) and the scan runs the two-pass
-    scan-correct sharded kernel (ops/seq_parallel.py). Requires the pallas
-    impl, bidirectional ``add``, tied in_proj, and no tensor axis.
+    scan-correct sharded kernel (ops/seq_parallel.py, Pallas-based
+    regardless of ``cfg.scan_impl``; interpret mode off-TPU). Requires
+    bidirectional ``add``, tied in_proj, and no tensor axis.
     """
     G = cfg.n_directions
     N, R = cfg.d_state, cfg.dt_rank
@@ -258,10 +260,15 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     impl = cfg.scan_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "associative"
-    if impl == "pallas" and jax.default_backend() == "tpu" and (
-            x.shape[1] % 128 or p["in_proj_x"].shape[-1] % 128):
-        # Mosaic needs the time and d_inner tiles lane-aligned (128); only
-        # tiny smoke configs miss this — all presets are multiples of 128.
+    if (impl == "pallas" and jax.default_backend() == "tpu"
+            and p["in_proj_x"].shape[-1] % 128):
+        # The Pallas backward kernels need a lane-aligned (128-multiple)
+        # d_inner; the forward compiles for any size, but kernel choice must
+        # be grad-agnostic. Only tiny smoke configs and odd tensor-parallel
+        # shardings miss this — every preset d_inner is a multiple of 128.
+        warnings.warn(
+            f"d_inner={p['in_proj_x'].shape[-1]} is not a multiple of 128; "
+            "falling back from the Pallas kernel to the associative scan")
         impl = "associative"
     # Flip-free bidirectional path: the reverse direction uses an anticausal
     # conv (== flip∘causal-conv∘flip, computed without the flips) and scans
@@ -274,54 +281,16 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
     z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
 
-    if sp_axis is not None:
-        # Context-parallel mixer: decomposed conv with halo exchange + the
-        # sequence-sharded selective scan. Fully differentiable (the halo
-        # ppermutes and the seq-sharded scan's VJP compose under shard_map).
-        if not (fused and tp_axis is None and xi.shape[0] == 1
-                and cfg.bidirectional_strategy == "add"):
-            raise NotImplementedError(
-                "sequence parallelism needs the pallas impl, bidirectional "
-                "'add', tied in_proj, and no tensor axis")
-        from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
-        from plantcaduceus_tpu.ops.seq_parallel import (
-            selective_scan_seq_sharded)
+    sp = sp_axis is not None
+    if sp and not (G == 2 and tp_axis is None and xi.shape[0] == 1
+                   and cfg.bidirectional_strategy == "add"):
+        # Context parallelism always uses the Pallas-based seq-sharded scan
+        # (interpret mode off-TPU), independent of cfg.scan_impl.
+        raise NotImplementedError(
+            "sequence parallelism needs bidirectional 'add', tied in_proj, "
+            "and no tensor axis")
 
-        conv_w = p["conv_w"].astype(cdtype)
-        conv_b = p["conv_b"].astype(cdtype)
-        K = conv_w.shape[-1]
-        xgs = []
-        for g in range(G):
-            anti = g == 1
-            if anti:  # halo = next shard's first K-1 rows (anticausal)
-                halo = jax.lax.ppermute(
-                    xi[0][:, : K - 1], sp_axis,
-                    [(i, i - 1) for i in range(1, sp_shards)])
-                ext = jnp.concatenate([xi[0], halo], axis=1)
-                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
-                                          activation="silu",
-                                          anticausal=True)[:, : xi.shape[2]]
-            else:     # halo = previous shard's last K-1 rows (causal)
-                halo = jax.lax.ppermute(
-                    xi[0][:, -(K - 1):], sp_axis,
-                    [(i, i + 1) for i in range(sp_shards - 1)])
-                ext = jnp.concatenate([halo, xi[0]], axis=1)
-                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
-                                          activation="silu")[:, K - 1:]
-            xgs.append(xg_g)
-        xg = jnp.stack(xgs)  # [2, B, Llocal, di], natural time order
-        dt_lr = jnp.einsum("gbli,gir->gblr", xg, p["x_proj_dt"].astype(cdtype))
-        Bm = jnp.einsum("gbli,gin->gbln", xg, p["x_proj_B"].astype(cdtype))
-        Cm = jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype))
-        y = selective_scan_seq_sharded(
-            xg, dt_lr, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
-            p["dt_proj_b"], p["dt_proj_w"].astype(jnp.float32),
-            sp_axis, sp_shards, directions=(False, True))
-        y_sum = (y[0] + y[1]).astype(jnp.float32) \
-            * jax.nn.silu(z[0].astype(jnp.float32))
-        return y_sum.astype(cdtype) @ p["out_proj"][0].astype(cdtype)
-
-    if (fused and tp_axis is None and xi.shape[0] == 1
+    if (not sp and fused and tp_axis is None and xi.shape[0] == 1
             and cfg.bidirectional_strategy == "add"
             and not _USE_GATED_KERNEL):
         # Whole-mixer-interior kernel (conv + x_proj + dt + scan fused):
@@ -342,7 +311,33 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 
     conv_w = p["conv_w"].astype(cdtype)
     conv_b = p["conv_b"].astype(cdtype)
-    if fused:
+    if sp:
+        # Context-parallel conv: decomposed depthwise conv with a K-1-row
+        # halo exchanged with the neighbouring shard (ppermute). Fully
+        # differentiable — ppermute's transpose is the reverse ppermute.
+        from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+
+        K = conv_w.shape[-1]
+        xgs = []
+        for g in range(G):
+            if g == 1:  # halo = next shard's first K-1 rows (anticausal)
+                halo = jax.lax.ppermute(
+                    xi[0][:, : K - 1], sp_axis,
+                    [(i, i - 1) for i in range(1, sp_shards)])
+                ext = jnp.concatenate([xi[0], halo], axis=1)
+                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
+                                          activation="silu",
+                                          anticausal=True)[:, : xi.shape[2]]
+            else:       # halo = previous shard's last K-1 rows (causal)
+                halo = jax.lax.ppermute(
+                    xi[0][:, -(K - 1):], sp_axis,
+                    [(i, i + 1) for i in range(sp_shards - 1)])
+                ext = jnp.concatenate([halo, xi[0]], axis=1)
+                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
+                                          activation="silu")[:, K - 1:]
+            xgs.append(xg_g)
+        xg = jnp.stack(xgs)  # [2, B, Llocal, di], natural time order
+    elif fused:
         from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
 
         x_in = xi[0] if xi.shape[0] == 1 else None
@@ -371,7 +366,17 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     Cm = _maybe_psum_sharded_consumer(
         jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype)), tp_axis)
 
-    if fused:
+    if sp:
+        from plantcaduceus_tpu.ops.seq_parallel import (
+            selective_scan_seq_sharded)
+
+        y = selective_scan_seq_sharded(
+            xg, dt_lr, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
+            p["dt_proj_b"], p["dt_proj_w"].astype(jnp.float32),
+            sp_axis, sp_shards, directions=(False, True),
+        )  # [2, B, Llocal, di], natural time order
+        align = lambda yg, g: yg
+    elif fused:
         if (xi.shape[0] == 1 and cfg.bidirectional_strategy == "add"
                 and _USE_GATED_KERNEL):
             # Alternative fully fused tied+add path: sum + gate inside the

@@ -133,18 +133,26 @@ def shard_params(params, mesh: Mesh, replicated: bool = True):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+_SEQ_SHARDED_KEYS = frozenset({"input_ids", "labels", "loss_weights"})
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place host arrays onto the mesh, sharded along the batch axis (and,
-    when the mesh has a non-trivial seq axis, along the length axis of 2-D
-    [B, L] arrays — matching the train step's context-parallel in_specs)."""
+    when the mesh has a non-trivial seq axis, the known [B, L] token arrays
+    — the keys the train step's context-parallel in_specs shard — along the
+    length axis too)."""
     sp = mesh.shape.get("seq", 1) > 1
     b = NamedSharding(mesh, batch_spec())
-    bl = NamedSharding(mesh, P(("data", "fsdp"), "seq"))
+    bl = NamedSharding(mesh, P(("data", "fsdp"), "seq")) if sp else b
 
-    def place(a):
-        return jax.device_put(a, bl if (sp and a.ndim == 2) else b)
+    def place(key, a):
+        seq_shard = sp and key in _SEQ_SHARDED_KEYS and a.ndim == 2
+        return jax.device_put(a, bl if seq_shard else b)
 
-    return jax.tree.map(place, batch)
+    if isinstance(batch, dict):
+        return {k: jax.tree.map(lambda a, k=k: place(k, a), v)
+                for k, v in batch.items()}
+    return jax.tree.map(lambda a: place(None, a), batch)
 
 
 def process_shard(n_items: int) -> slice:

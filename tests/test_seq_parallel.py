@@ -296,3 +296,54 @@ def test_train_step_context_parallel(rng):
     for a, b in zip(flat_sp, flat_dp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_model_forward_context_parallel_auto_impl(rng):
+    """Context parallelism must work with the default scan_impl='auto'
+    (regression: the sp branch used to require impl to resolve to 'pallas',
+    which 'auto' never does off-TPU)."""
+    import functools as ft
+
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+
+    n_seq = 2
+    cfg = CaduceusConfig(d_model=16, n_layer=1, vocab_size=16, d_state=4)
+    assert cfg.scan_impl == "auto"
+    params = jax.jit(ft.partial(caduceus.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.integers(7, 11, size=(2, 64)), jnp.int32)
+
+    want = caduceus.forward(params, ids, cfg, dtype=jnp.float32)["logits"]
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_seq]), ("seq",))
+    f = jax.shard_map(
+        lambda p, i: caduceus.forward(p, i, cfg, dtype=jnp.float32,
+                                      sp_axis="seq",
+                                      sp_shards=n_seq)["logits"],
+        mesh=mesh, in_specs=(P(), P(None, "seq")),
+        out_specs=P(None, "seq"), check_vma=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(f)(params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_shard_batch_seq_mesh():
+    """shard_batch shards [B, L] token arrays over (batch, seq) on a seq
+    mesh, leaves other entries batch-only, and is a no-op spec-wise on a
+    seq-free mesh."""
+    from plantcaduceus_tpu.parallel import mesh as meshlib
+
+    batch = {"input_ids": jnp.zeros((8, 16), jnp.int32),
+             "labels": jnp.zeros((8, 16), jnp.int32),
+             "extra": jnp.zeros((8, 3), jnp.float32)}
+
+    m_sp = meshlib.make_mesh(meshlib.MeshConfig(data=2, seq=4))
+    placed = meshlib.shard_batch(batch, m_sp)
+    assert placed["input_ids"].sharding.spec == P(("data", "fsdp"), "seq")
+    assert placed["extra"].sharding.spec == meshlib.batch_spec()
+
+    m_dp = meshlib.make_mesh(meshlib.MeshConfig(data=8))
+    placed = meshlib.shard_batch(batch, m_dp)
+    assert placed["input_ids"].sharding.spec == meshlib.batch_spec()
