@@ -29,11 +29,12 @@ Layout and scheduling (tuned on TPU v5e, tools/sweep_scan.py):
   pure HBM traffic. Groups with different directions run as separate
   pallas_calls (the flag must be static).
 
-Chunk-entry states are emitted as a side output so a backward pass can
-recompute intra-chunk states chunk-locally. ``selective_scan_pallas``
-carries a custom VJP whose backward currently recomputes through the
-pure-JAX associative formulation (correct; a dedicated reverse-scan kernel
-is the planned upgrade).
+Chunk-entry states are emitted as a side output so the backward kernel
+(``_bwd_kernel``) can recompute intra-chunk states chunk-locally.
+``selective_scan_pallas`` carries a custom VJP onto that kernel: per-step
+a/b formation (mirroring the forward), an unmaterialised adjoint whose
+B/dt/C contractions run as per-step MXU dots, and register accumulation
+for the dA/ddt_bias/dD/dW_dt full-run sums.
 """
 
 from __future__ import annotations
@@ -349,27 +350,37 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     dtp = jax.nn.softplus(pre)
     sig = jax.lax.logistic(pre)
 
-    a = jnp.exp2(dtp[:, None, :] * (At[None] * 1.4426950408889634))         # [bl, N, bd]
-    b = (dtp * x)[:, None, :] * Bm[..., None]               # [bl, N, bd]
+    lAt = At * 1.4426950408889634                           # [N, bd]
+    dtx = dtp * x                                           # [bl, bd]
 
-    # forward state recompute within the chunk
+    # Forward state recompute with PER-STEP decay/input formation: the
+    # whole-chunk [bl, N, bd] a/b tensors never round-trip VMEM (same
+    # op-shaving arc as the forward kernel). The C-cotangent also forms per
+    # step as a (1,bd)x(bd,N)ᵀ dot on the otherwise-idle MXU instead of a
+    # second whole-chunk VPU pass over h.
     hs = []
+    ats = []
+    dC_rows = []
     h_cur = h_in
     for t in range(bl):
-        h_cur = a[t] * h_cur + b[t]
+        at = jnp.exp2(dtp[t][None, :] * lAt)                # [N, bd]
+        bt = dtx[t][None, :] * Bm[t][:, None]               # [N, bd]
+        h_cur = at * h_cur + bt
         hs.append(h_cur)
-    h = jnp.stack(hs)                                       # [bl, N, bd]
-    h_prev = jnp.concatenate([h_in[None], h[:-1]], axis=0)
-
-    dC_blk = jnp.sum(h * gy[:, None, :], axis=2)            # [bl, N]
+        ats.append(at)
+        dC_rows.append(jax.lax.dot_general(
+            gy[t : t + 1], h_cur, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))            # [1, N]
+    dC_blk = jnp.concatenate(dC_rows, axis=0)               # [bl, N]
 
     # adjoint reverse recurrence: g[t] = C[t]⊗gy[t] + a[t+1] g[t+1].
     # Every g-consumer runs inside the loop so g never materialises as a
     # [bl, N, bd] tensor: the B- and dtx-contractions are per-step
     # (1,N)x(N,bd) / (1,bd)x(N,bd) dots on the otherwise-idle MXU, and the
-    # dA term accumulates in registers. ``das`` reuses the a[t]*g_t product
-    # (g*h_prev*a == g_next*h_prev), saving one multiply per state.
-    dtx = dtp * x                                           # [bl, bd]
+    # dA term accumulates in registers. The decay a[t] reforms per step
+    # (two VPU ops — cheaper than a [bl, N, bd] VMEM round-trip). ``das``
+    # reuses the a[t]*g_t product (g*h_prev*a == g_next*h_prev), saving
+    # one multiply per state.
     dA_acc = jnp.zeros((N, bd), jnp.float32)
     gB_rows, dB_rows, dda_rows = [], [], []
     g_next = g_scr[di]                                      # [N, bd]
@@ -381,8 +392,8 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         dB_rows.append(jax.lax.dot_general(
             dtx[t : t + 1], g_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))            # [1, N]
-        g_next = a[t] * g_t
-        das = g_next * h_prev[t]
+        g_next = ats[t] * g_t
+        das = g_next * (hs[t - 1] if t else h_in)
         dA_acc = dA_acc + das * dtp[t][None, :]
         dda_rows.append(jnp.sum(das * At, axis=0, keepdims=True))  # [1, bd]
     g_scr[di] = g_next
