@@ -331,17 +331,16 @@ def _bimamba_mixer_bwd(saved, gy):
     pw = []  # per-direction param grads
     for g in range(2):
         acc, dt_lr, Bm, Cm, hb = res[g]
-        flip = (lambda t: jnp.flip(t, axis=2)) if g == 1 else (lambda t: t)
         accf = acc.astype(f32)
         sig_a = jax.lax.logistic(accf)
         xg = (accf * sig_a).astype(xi.dtype)                 # silu(acc)
         out = _pallas_bwd_group(
-            flip(xg[None]), flip(dt_lr[None]), A[g : g + 1],
-            flip(Bm[None]), flip(Cm[None]), Dskip[g : g + 1],
+            xg[None], dt_lr[None], A[g : g + 1],
+            Bm[None], Cm[None], Dskip[g : g + 1],
             dt_bias[g : g + 1], dt_proj_w[g : g + 1].astype(f32),
-            flip(gy_scan[None]), hb, TRAIN_BL, DEF_BD, True)
+            gy_scan[None], hb, TRAIN_BL, DEF_BD, True, reverse=g == 1)
         dxg, ddtlr, dA_g, dB, dC, dD_g, ddtb_g, dWdt_g = out
-        dxg, ddtlr, dB, dC = (flip(t)[0] for t in (dxg, ddtlr, dB, dC))
+        dxg, ddtlr, dB, dC = (t[0] for t in (dxg, ddtlr, dB, dC))
 
         # x_proj chain: dt_lr/B/C = xg @ w_*
         xgf = xg.astype(f32)
@@ -353,7 +352,8 @@ def _bimamba_mixer_bwd(saved, gy):
         dw_B = jnp.einsum("bli,bln->in", xgf, dB)
         dw_C = jnp.einsum("bli,bln->in", xgf, dC)
 
-        # SiLU + depthwise-conv chain (conv is linear: vjp == transpose)
+        # SiLU + depthwise-conv chain (conv is linear: vjp == transpose;
+        # depthwise_conv_xla carries a hand-written transpose rule)
         dacc = dxg_full * (sig_a * (1 + accf * (1 - sig_a)))
         conv_fn = lambda x_, w_, b_: depthwise_conv_xla(
             x_, w_, b_, activation=None, anticausal=(g == 1))

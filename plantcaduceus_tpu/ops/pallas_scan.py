@@ -287,17 +287,22 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
 
 def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
                 C_ref, gy_ref, hb_ref, *rest, fuse_dtproj: bool,
-                has_g0: bool, emit_dh0: bool):
-    """Adjoint of the forward-direction scan for one (row, time-chunk,
-    d-block) grid step. Grid (R, nl, nd): d innermost (dB/dC/ddt_lr blocks
-    accumulate over it), time chunks processed in REVERSE via the index
-    maps. Forward states recompute chunk-locally from the boundary states
-    ``hb`` the forward kernel emitted; the state cotangent carries across
-    chunks in VMEM scratch (one [N, bd] slot per d-block).
+                has_g0: bool, emit_dh0: bool, reverse: bool):
+    """Adjoint of one scan direction for one (row, time-chunk, d-block)
+    grid step. Grid (R, nl, nd): d innermost (dB/dC/ddt_lr blocks
+    accumulate over it), time chunks visited in reverse PROCESSING order
+    via the index maps (natural late→early for a forward-direction scan,
+    natural early→late with ``reverse``, which — like the forward kernel's
+    flag — flips the in-block row order instead of materialising flipped
+    [B, L, ...] copies in HBM). Forward states recompute chunk-locally from
+    the boundary states ``hb`` the forward kernel emitted; the state
+    cotangent carries across chunks in VMEM scratch (one [N, bd] slot per
+    d-block).
 
     ``g0`` seeds the cotangent recurrence (the adjoint of a final-state
     output — sequence-parallel stitching); ``dh0`` emits the cotangent left
-    after the earliest time chunk = the gradient w.r.t. the initial state."""
+    after the earliest-processed time chunk = the gradient w.r.t. the
+    initial state."""
     rest = list(rest)
     g0_ref = rest.pop(0) if has_g0 else None
     (dx_ref, ddt_ref, dB_ref, dC_ref, dA_ref, ddtb_ref, dD_ref,
@@ -358,33 +363,41 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
     # op-shaving arc as the forward kernel). The C-cotangent also forms per
     # step as a (1,bd)x(bd,N)ᵀ dot on the otherwise-idle MXU instead of a
     # second whole-chunk VPU pass over h.
+    # Rows are addressed by NATURAL time index; a reversed direction simply
+    # walks them in the opposite order (rr), exactly like the forward
+    # kernel — no flipped [B, L, ...] copies in HBM.
+    rr = (lambda s: bl - 1 - s) if reverse else (lambda s: s)
+    nat = (lambda rows: rows) if reverse else (lambda rows: rows[::-1])
+
     hs = []
     ats = []
     dC_rows = []
     h_cur = h_in
-    for t in range(bl):
+    for s in range(bl):
+        t = rr(s)
         at = jnp.exp2(dtp[t][None, :] * lAt)                # [N, bd]
         bt = dtx[t][None, :] * Bm[t][:, None]               # [N, bd]
         h_cur = at * h_cur + bt
-        hs.append(h_cur)
+        hs.append(h_cur)  # indexed by processing step s
         ats.append(at)
         dC_rows.append(jax.lax.dot_general(
             gy[t : t + 1], h_cur, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))            # [1, N]
-    dC_blk = jnp.concatenate(dC_rows, axis=0)               # [bl, N]
+    dC_blk = jnp.concatenate(nat(dC_rows[::-1]), axis=0)    # [bl, N]
 
-    # adjoint reverse recurrence: g[t] = C[t]⊗gy[t] + a[t+1] g[t+1].
-    # Every g-consumer runs inside the loop so g never materialises as a
-    # [bl, N, bd] tensor: the B- and dtx-contractions are per-step
+    # adjoint reverse recurrence (processing coords): g[s] = C⊗gy + a[s+1]
+    # g[s+1]. Every g-consumer runs inside the loop so g never materialises
+    # as a [bl, N, bd] tensor: the B- and dtx-contractions are per-step
     # (1,N)x(N,bd) / (1,bd)x(N,bd) dots on the otherwise-idle MXU, and the
-    # dA term accumulates in registers. The decay a[t] reforms per step
-    # (two VPU ops — cheaper than a [bl, N, bd] VMEM round-trip). ``das``
-    # reuses the a[t]*g_t product (g*h_prev*a == g_next*h_prev), saving
+    # dA term accumulates in registers. The per-step decays are reused from
+    # the recompute loop (reforming them measured 3% slower). ``das``
+    # reuses the a[s]*g_s product (g*h_prev*a == g_next*h_prev), saving
     # one multiply per state.
     dA_acc = jnp.zeros((N, bd), jnp.float32)
     gB_rows, dB_rows, dda_rows = [], [], []
     g_next = g_scr[di]                                      # [N, bd]
-    for t in range(bl - 1, -1, -1):
+    for s in range(bl - 1, -1, -1):
+        t = rr(s)
         g_t = Cm[t][:, None] * gy[t][None, :] + g_next
         gB_rows.append(jax.lax.dot_general(
             Bm[t : t + 1], g_t, (((1,), (0,)), ((), ())),
@@ -392,14 +405,14 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
         dB_rows.append(jax.lax.dot_general(
             dtx[t : t + 1], g_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))            # [1, N]
-        g_next = ats[t] * g_t
-        das = g_next * (hs[t - 1] if t else h_in)
+        g_next = ats[s] * g_t
+        das = g_next * (hs[s - 1] if s else h_in)
         dA_acc = dA_acc + das * dtp[t][None, :]
         dda_rows.append(jnp.sum(das * At, axis=0, keepdims=True))  # [1, bd]
     g_scr[di] = g_next
-    sum_gB = jnp.concatenate(gB_rows[::-1], axis=0)         # [bl, bd]
-    dB_blk = jnp.concatenate(dB_rows[::-1], axis=0)         # [bl, N]
-    ddtp = jnp.concatenate(dda_rows[::-1], axis=0) + sum_gB * x
+    sum_gB = jnp.concatenate(nat(gB_rows), axis=0)          # [bl, bd]
+    dB_blk = jnp.concatenate(nat(dB_rows), axis=0)          # [bl, N]
+    ddtp = jnp.concatenate(nat(dda_rows), axis=0) + sum_gB * x
     ddt_full = ddtp * sig                                   # [bl, bd]
 
     dx_ref[0] = (sum_gB * dtp + gy * dsk).astype(dx_ref.dtype)
@@ -442,12 +455,15 @@ def _bwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
 
 
 def _pallas_bwd_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
-                      gy, hb, bl, bd, fuse_dtproj, g0=None, emit_dh0=False):
-    """Backward for one forward-direction group. Shapes: x/gy [1,B,L,D];
-    dt [1,B,L,Rk|D]; hb [B, nl, D, N] matching the bl chunking; g0 [B, D, N]
-    seeds the cotangent (adjoint of an emitted final state); with
-    ``emit_dh0`` the gradient w.r.t. the initial state is appended to the
-    returned tuple."""
+                      gy, hb, bl, bd, fuse_dtproj, g0=None, emit_dh0=False,
+                      reverse=False):
+    """Backward for one scan-direction group (``reverse`` names the
+    direction of the *forward* scan; all arrays are in natural time order —
+    no pre-flipped copies). Shapes: x/gy [1,B,L,D]; dt [1,B,L,Rk|D]; hb
+    [B, nl, D, N] in the forward kernel's processing order, matching the bl
+    chunking; g0 [B, D, N] seeds the cotangent (adjoint of an emitted
+    final state); with ``emit_dh0`` the gradient w.r.t. the (processing
+    -order) initial state is appended to the returned tuple."""
     _, B, L, D = x.shape
     N = A.shape[-1]
     Rk = dt.shape[-1]
@@ -465,13 +481,20 @@ def _pallas_bwd_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
 
     grid = (B, nl, nd)
     lrev = lambda l: nl - 1 - l
-    xmap = lambda r, l, d: (r, lrev(l), d)
-    lmapN = lambda r, l, d: (r, lrev(l), 0)
+    # The adjoint visits chunks in reverse PROCESSING order: natural
+    # late->early for a forward-direction scan, natural early->late for a
+    # reversed one. hb is indexed by processing order either way (the
+    # natural chunk visited at grid step l was fwd-processed at lrev(l)
+    # when reverse; identity composes to lrev(l) too when not).
+    lmap = (lambda l: l) if reverse else lrev
+    xmap = lambda r, l, d: (r, lmap(l), d)
+    lmapN = lambda r, l, d: (r, lmap(l), 0)
     dt_cols = Rk if fuse_dtproj else bd
     dt_map = lmapN if fuse_dtproj else xmap
 
     kernel = functools.partial(_bwd_kernel, fuse_dtproj=fuse_dtproj,
-                               has_g0=g0 is not None, emit_dh0=emit_dh0)
+                               has_g0=g0 is not None, emit_dh0=emit_dh0,
+                               reverse=reverse)
     in_specs = [
         pl.BlockSpec((1, 1, bd), lambda r, l, d: (0, 0, d)),   # dt_bias
         pl.BlockSpec((1, bd, N), lambda r, l, d: (0, d, 0)),   # A
@@ -650,18 +673,15 @@ def _scan_op_bwd(bl, bd, t_inner, bb, directions, has_dtw, res, gy):
     parts = []
     for g in range(G):
         rev = bool(directions[g]) if directions is not None else False
-        flip = (lambda t: jnp.flip(t, axis=2)) if rev else (lambda t: t)
-        # hb is stored in processing order == flipped time coords for
-        # reversed groups, so it pairs directly with the flipped inputs.
+        # reverse is native in the backward kernel (index maps + in-block
+        # row order) — no flipped [.., L, ..] copies in HBM.
         out = _pallas_bwd_group(
-            flip(x[g:g + 1]), flip(dt[g:g + 1]), A[g:g + 1],
-            flip(Bm[g:g + 1]), flip(Cm[g:g + 1]), Dskip[g:g + 1],
+            x[g:g + 1], dt[g:g + 1], A[g:g + 1],
+            Bm[g:g + 1], Cm[g:g + 1], Dskip[g:g + 1],
             dt_bias[g:g + 1],
             dt_proj_w[g:g + 1] if has_dtw else None,
-            flip(gy[g:g + 1]), hbs[g], TRAIN_BL, bd, has_dtw)
-        dx, ddt, dA, dB, dC, dD, ddtb, dW = out
-        parts.append((flip(dx), flip(ddt), dA, flip(dB), flip(dC),
-                      dD, ddtb, dW))
+            gy[g:g + 1], hbs[g], TRAIN_BL, bd, has_dtw, reverse=rev)
+        parts.append(out)
     cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
     dx, ddt, dA, dB, dC, dD, ddtb, dW = (cat(i) for i in range(8))
     return (dx.astype(x.dtype), ddt.astype(dt.dtype), dA,
@@ -723,15 +743,11 @@ def _bimamba_op_bwd(bl, bd, t_inner, bb, res, gy):
 
     parts = []
     for g, hb in ((0, hb0), (1, hb1)):
-        flip = (lambda t: jnp.flip(t, axis=2)) if g == 1 else (lambda t: t)
-        out = _pallas_bwd_group(
-            flip(x[g:g + 1]), flip(dt_lr[g:g + 1]), A[g:g + 1],
-            flip(Bm[g:g + 1]), flip(Cm[g:g + 1]), Dskip[g:g + 1],
+        parts.append(_pallas_bwd_group(
+            x[g:g + 1], dt_lr[g:g + 1], A[g:g + 1],
+            Bm[g:g + 1], Cm[g:g + 1], Dskip[g:g + 1],
             dt_bias[g:g + 1], dt_proj_w[g:g + 1],
-            flip(gy_scan[g:g + 1]), hb, TRAIN_BL, bd, True)
-        dx, ddt, dA, dB, dC, dD, ddtb, dW = out
-        parts.append((flip(dx), flip(ddt), dA, flip(dB), flip(dC),
-                      dD, ddtb, dW))
+            gy_scan[g:g + 1], hb, TRAIN_BL, bd, True, reverse=g == 1))
     cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
     dx, ddt, dA, dBm, dCm, dD, ddtb, dW = (cat(i) for i in range(8))
     return (dx.astype(x.dtype), ddt.astype(dt_lr.dtype), dA,

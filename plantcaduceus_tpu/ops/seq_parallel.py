@@ -80,15 +80,16 @@ def _sp_scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, h0,
 def _sp_scan_op_bwd(bl, bd, reverse, has_dtw, res, cts):
     x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, hb = res
     gy, ghfin = cts
-    flip = (lambda t: jnp.flip(t, axis=2)) if reverse else (lambda t: t)
+    # reverse is native in the backward kernel; inputs/outputs stay in
+    # natural time order (h0/g0/dh0 are processing-order boundary states).
     out = _pallas_bwd_group(
-        flip(x), flip(dt), A, flip(Bm), flip(Cm), Dskip, dt_bias,
+        x, dt, A, Bm, Cm, Dskip, dt_bias,
         dt_proj_w if has_dtw else None,
-        flip(gy), hb, TRAIN_BL, bd, has_dtw,
-        g0=ghfin.astype(jnp.float32), emit_dh0=True)
+        gy, hb, TRAIN_BL, bd, has_dtw,
+        g0=ghfin.astype(jnp.float32), emit_dh0=True, reverse=reverse)
     dx, ddt, dA, dB, dC, dD, ddtb, dW, dh0 = out
-    return (flip(dx).astype(x.dtype), flip(ddt).astype(dt.dtype), dA,
-            flip(dB).astype(Bm.dtype), flip(dC).astype(Cm.dtype), dD, ddtb,
+    return (dx.astype(x.dtype), ddt.astype(dt.dtype), dA,
+            dB.astype(Bm.dtype), dC.astype(Cm.dtype), dD, ddtb,
             dW if has_dtw else jnp.zeros_like(dt_proj_w),
             dh0.astype(jnp.float32))
 
