@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("-batchSize", dest="batch_size", type=int, default=128)
     p.add_argument("-tokenIdx", dest="token_idx", type=int, default=255)
     p.add_argument("-window", dest="window", type=int, default=512)
+    p.add_argument("-seq", dest="seq", type=int, default=1,
+                   help="context-parallel mesh shards over the window "
+                        "length (long-window latency; needs the pallas "
+                        "scan path)")
     p.add_argument("-dtype", dest="dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("-no-progress", action="store_true", dest="no_progress")
@@ -65,8 +69,10 @@ def main(argv=None):
     meshlib.initialize_distributed()
 
     params, cfg, tokenizer = load_model_and_tokenizer(args.model)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(seq=args.seq)) \
+        if args.seq > 1 else None
     runner = InferenceRunner(
-        params, cfg,
+        params, cfg, mesh=mesh,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         batch_size=args.batch_size,
     )

@@ -37,7 +37,11 @@ class InferenceRunner:
         self.batch_size = batch_size
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
         self.params = meshlib.shard_params(params, self.mesh, replicated=True)
-        self._batch_sharding = NamedSharding(self.mesh, meshlib.batch_spec())
+        sp_shards = self.mesh.shape.get("seq", 1)
+        self._sp = sp_shards > 1
+        bspec = meshlib.batch_spec()
+        ids_spec = P(bspec[0], "seq") if self._sp else bspec
+        self._batch_sharding = NamedSharding(self.mesh, ids_spec)
         if batch_size % (self.mesh.shape["data"] * self.mesh.shape["fsdp"]):
             raise ValueError(
                 f"batch_size {batch_size} must divide over the "
@@ -45,25 +49,48 @@ class InferenceRunner:
             )
 
         pspecs = meshlib.param_pspec_tree(params, replicated=True)
-        bspec = meshlib.batch_spec()
         self._fwd_cache = {}
 
         def build_fwd(extract, want_hidden):
             """Compile forward + extraction as ONE program. The extraction
             MUST live inside jit: eager array ops on the remote TPU cost
             hundreds of ms of per-op dispatch (each is its own compile)."""
+            sp = self._sp
 
             def local_fwd(params, ids):
                 # shard_map rather than GSPMD because the Pallas scan has no
-                # SPMD partitioning rule; batch rows are device-local.
+                # SPMD partitioning rule; batch rows are device-local. With
+                # a non-trivial seq axis the window length is sharded too —
+                # context-parallel scoring of long (8192-bp) windows.
                 out = caduceus.forward(
                     params, ids, cfg, dtype=dtype,
                     output_hidden_states=want_hidden,
-                    fused_inference=jax.default_backend() == "tpu")
+                    fused_inference=jax.default_backend() == "tpu",
+                    sp_axis="seq" if sp else None, sp_shards=sp_shards)
                 res = {"logits": out["logits"].astype(jnp.float32)}
                 if want_hidden:
                     res["hidden_states"] = out["hidden_states"].astype(jnp.float32)
-                return extract(res)
+                return res if sp else extract(res)
+
+            if sp:
+                # Raw outputs come back length-sharded; the extraction runs
+                # under plain jit where GSPMD inserts the (tiny) collective
+                # that fetches the scored position's shard.
+                raw_specs = {"logits": ids_spec}
+                if want_hidden:
+                    raw_specs["hidden_states"] = ids_spec
+
+                @jax.jit
+                def fwd(params, ids):
+                    raw = jax.shard_map(
+                        local_fwd, mesh=self.mesh,
+                        in_specs=(pspecs, ids_spec),
+                        out_specs=raw_specs,
+                        check_vma=False,
+                    )(params, ids)
+                    return extract(raw)
+
+                return fwd
 
             @jax.jit
             def fwd(params, ids):
@@ -110,6 +137,17 @@ class InferenceRunner:
             fwd = self._build_fwd(extract, want_hidden)
             self._fwd_cache[key] = fwd
 
+        if self._sp and jax.default_backend() != "tpu":
+            # The seq-sharded scan is Pallas-based regardless of
+            # cfg.scan_impl; off-TPU it only runs interpreted (dev/debug).
+            from jax.experimental.pallas import tpu as pltpu
+
+            ctx = pltpu.force_tpu_interpret_mode()
+        else:
+            from contextlib import nullcontext
+
+            ctx = nullcontext()
+
         results = []
         batches = list(self._iter_batches(ids))
         it = batches
@@ -121,15 +159,16 @@ class InferenceRunner:
             except ImportError:
                 pass
         pending = []
-        for chunk, n in it:
-            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-            pending.append((fwd(self.params, dev), n))
-            # keep a shallow dispatch pipeline; drain oldest to numpy
-            if len(pending) > 2:
-                out, m = pending.pop(0)
+        with ctx:
+            for chunk, n in it:
+                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                pending.append((fwd(self.params, dev), n))
+                # keep a shallow dispatch pipeline; drain oldest to numpy
+                if len(pending) > 2:
+                    out, m = pending.pop(0)
+                    results.append(np.asarray(out)[:m])
+            for out, m in pending:
                 results.append(np.asarray(out)[:m])
-        for out, m in pending:
-            results.append(np.asarray(out)[:m])
         return np.concatenate(results, axis=0)
 
     # -- workload-specific extractors --------------------------------------

@@ -96,3 +96,33 @@ def test_unstripe_reassembly(rng):
         gathered[h, : len(mine)] = mine
     out = _unstripe(gathered, counts)
     np.testing.assert_array_equal(out, data)
+
+
+def test_scores_context_parallel_match(rng):
+    """A (data=2, seq=4) context-parallel runner scores long windows
+    identically to the single-device runner: the length-sharded forward
+    (halo conv + two-pass scan + RC shard flips) plus the GSPMD-sliced
+    extraction reproduce every probability."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # interpret-mode Pallas is slow: keep shapes at the scale of
+    # tests/test_seq_parallel.py's full-model checks
+    small = dict(d_model=16, n_layer=2, vocab_size=16, d_state=4)
+    cfg_sp = CaduceusConfig(**small, scan_impl="pallas")
+    cfg_ref = CaduceusConfig(**small)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg_ref)
+    tok = DnaTokenizer()
+    seqs = ["".join(rng.choice(list("ACGT"), 128)) for _ in range(4)]
+
+    ref_runner = InferenceRunner(params, cfg_ref, mesh=_mesh1(),
+                                 dtype=jnp.float32, batch_size=4)
+    want = zero_shot.nucleotide_probs(ref_runner, tok, seqs, token_idx=64,
+                                      progress=False)
+
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=2, seq=4))
+    sp_runner = InferenceRunner(params, cfg_sp, mesh=mesh,
+                                dtype=jnp.float32, batch_size=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = zero_shot.nucleotide_probs(sp_runner, tok, seqs, token_idx=64,
+                                         progress=False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
