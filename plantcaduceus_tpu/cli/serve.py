@@ -43,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("-maxWaitMs", dest="max_wait_ms", type=float, default=5.0)
     p.add_argument("-tokenIdx", dest="token_idx", type=int, default=None,
                    help="default mask position (default: center of window)")
+    p.add_argument("-seq", dest="seq", type=int, default=1,
+                   help="context-parallel mesh shards over the window length")
     p.add_argument("-dtype", dest="dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("-warmup", action="store_true",
@@ -62,8 +64,10 @@ def main(argv=None):
     meshlib.initialize_distributed()
 
     params, cfg, tokenizer = load_model_and_tokenizer(args.model)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(seq=args.seq)) \
+        if args.seq > 1 else None
     runner = InferenceRunner(
-        params, cfg,
+        params, cfg, mesh=mesh,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         batch_size=args.batch_size,
     )

@@ -42,10 +42,13 @@ def _runner(args):
     import jax.numpy as jnp
 
     from plantcaduceus_tpu.engine.runner import InferenceRunner
+    from plantcaduceus_tpu.parallel import mesh as meshlib
     from plantcaduceus_tpu.utils.model_loading import load_model_and_tokenizer
 
     params, cfg, tok = load_model_and_tokenizer(args.model)
-    runner = InferenceRunner(params, cfg, dtype=jnp.bfloat16,
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(seq=args.seq)) \
+        if getattr(args, "seq", 1) > 1 else None
+    runner = InferenceRunner(params, cfg, mesh=mesh, dtype=jnp.bfloat16,
                              batch_size=args.batch_size)
     vocab = tok.get_vocab()
     nuc_ids = [vocab[n] for n in "acgt"]
@@ -181,6 +184,9 @@ def main(argv=None):
         sp.add_argument("--save-logits", default=None)
         sp.add_argument("--logits-path", default=None)
         sp.add_argument("--metrics-json", default=None)
+        sp.add_argument("--seq", type=int, default=1,
+                        help="context-parallel mesh shards over the "
+                             "window length (8192-bp latency)")
         sp.add_argument("--no-progress", action="store_true")
 
     ec = sub.add_parser("evo_cons")
