@@ -181,8 +181,12 @@ def main(argv=None):
             logging.warning("wandb unavailable: %s", e)
 
     tokens_per_step = args.batch_size * args.window * jax.process_count()
+    # Resume data determinism: restart the stream at the restored step so
+    # the resumed run sees exactly the batches an uninterrupted run would
+    # (batches are a pure function of (seed, step) — train/data.py).
+    train_iter = train_data.iter_from(int(state.step))
     state = loop_lib.run_training(
-        state, train_step, eval_step, iter(train_data),
+        state, train_step, eval_step, train_iter,
         eval_data.eval_batches if eval_data is not None else None,
         args.max_steps,
         log_every=args.log_steps, eval_every=args.eval_steps,

@@ -55,7 +55,16 @@ class CheckpointManager:
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template._asdict()))
         log.info("Restored checkpoint at step %d from %s", step, self.directory)
-        return TrainState(**restored)
+        # Re-establish the template's shardings: orbax does not reliably
+        # place every restored leaf (e.g. optimizer step counters) onto the
+        # mesh, and a mixed-placement state fails the jitted train step's
+        # device check on multi-device meshes.
+        import jax
+
+        return jax.tree.map(
+            lambda t, r: jax.device_put(r, t.sharding)
+            if hasattr(t, "sharding") else r,
+            state_template, TrainState(**restored))
 
     def wait(self):
         self._mgr.wait_until_finished()

@@ -104,18 +104,38 @@ class PretrainDataset:
         self.batch_size = batch_size
         self.soft_masked_weight = soft_masked_weight
         self.collator = MlmCollator(tokenizer, mlm_probability, seed=seed + 1)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.n_batches_per_epoch = max(1, len(self.sequences) // batch_size)
+        self._order_cache = (-1, None)
+
+    def batch_at(self, step: int) -> dict:
+        """The batch for a global step, as a PURE function of (seed, step):
+        the epoch's shuffle order and the step's MLM mask both come from
+        counter-keyed generators. This is what makes checkpoint autoresume
+        reproduce an uninterrupted run exactly (the reference's HF Trainer
+        gets the same property by replaying/skipping the dataloader;
+        re-keying is the O(1) equivalent)."""
+        epoch, k = divmod(step, self.n_batches_per_epoch)
+        if self._order_cache[0] != epoch:  # one permutation per epoch
+            self._order_cache = (epoch, np.random.default_rng(
+                [self.seed, epoch]).permutation(len(self.sequences)))
+        order = self._order_cache[1]
+        idx = order[k * self.batch_size : (k + 1) * self.batch_size]
+        seqs = [self.sequences[j] for j in idx]
+        ids = self.tokenizer.encode_batch(seqs)
+        w = soft_mask_weights(seqs, self.soft_masked_weight)
+        return self.collator(
+            ids, loss_weights=w,
+            rng=np.random.default_rng([self.seed + 1, step]))
+
+    def iter_from(self, start_step: int) -> Iterator[dict]:
+        step = start_step
+        while True:  # steps-based training; epochs loop forever
+            yield self.batch_at(step)
+            step += 1
 
     def __iter__(self) -> Iterator[dict]:
-        while True:  # steps-based training; epochs loop forever
-            order = self.rng.permutation(len(self.sequences))
-            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idx = order[i : i + self.batch_size]
-                seqs = [self.sequences[j] for j in idx]
-                ids = self.tokenizer.encode_batch(seqs)
-                w = soft_mask_weights(seqs, self.soft_masked_weight)
-                yield self.collator(ids, loss_weights=w)
+        return self.iter_from(0)
 
     def eval_batches(self, n: Optional[int] = None) -> Iterator[dict]:
         """Deterministic pass (no shuffle) over up to n batches."""

@@ -63,23 +63,29 @@ class MlmCollator:
         self,
         input_ids: np.ndarray,
         loss_weights: Optional[np.ndarray] = None,
+        rng: Optional[np.random.Generator] = None,
     ) -> Dict[str, np.ndarray]:
+        """``rng`` overrides the collator's stateful generator — pass a
+        step-keyed generator (``default_rng([seed, step])``) to make the
+        batch a pure function of the step, the property checkpoint
+        autoresume needs to reproduce an uninterrupted run exactly."""
+        rng = rng if rng is not None else self.rng
         ids = np.array(input_ids, np.int32, copy=True)
         labels = np.full(ids.shape, -100, np.int64)
 
         special = np.isin(ids, self._special)
         probs = np.full(ids.shape, self.mlm_probability)
         probs[special] = 0.0
-        masked = self.rng.random(ids.shape) < probs
+        masked = rng.random(ids.shape) < probs
         labels[masked] = ids[masked]
 
         # 80% -> [MASK]
-        replace = masked & (self.rng.random(ids.shape) < self.mask_replace_prob)
+        replace = masked & (rng.random(ids.shape) < self.mask_replace_prob)
         ids[replace] = self.tokenizer.mask_token_id
         # 10% (of masked) -> random token
         rnd_frac = self.random_replace_prob / max(1e-9, 1 - self.mask_replace_prob)
-        rnd = masked & ~replace & (self.rng.random(ids.shape) < rnd_frac)
-        ids[rnd] = self.rng.choice(self._random_ids, size=int(rnd.sum()))
+        rnd = masked & ~replace & (rng.random(ids.shape) < rnd_frac)
+        ids[rnd] = rng.choice(self._random_ids, size=int(rnd.sum()))
 
         batch = {"input_ids": ids, "labels": labels}
         if loss_weights is not None:

@@ -187,7 +187,19 @@ def make_train_step(
                                  is_leaf=lambda x: isinstance(x, P))
         params = jax.jit(lambda t: t, out_shardings=shardings)(params)
         opt_state = jax.jit(optimizer.init)(params)
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        # Commit the loose leaves (optimizer step counters and the like are
+        # constant-folded onto one device, uncommitted) onto the mesh: a
+        # fresh state tolerates them because uncommitted arrays auto-move,
+        # but a checkpoint-restored state is committed everywhere and the
+        # jitted step rejects mixed placements — the template must carry
+        # the real shardings so restore can re-establish them.
+        rep = NamedSharding(mesh, P())
+        mesh_devs = set(mesh.devices.flat)
+        commit = lambda x: x if x.sharding.device_set == mesh_devs \
+            else jax.device_put(x, rep)
+        opt_state = jax.tree.map(commit, opt_state)
+        return TrainState(params, opt_state,
+                          jax.device_put(jnp.zeros((), jnp.int32), rep))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:

@@ -125,18 +125,31 @@ class StreamingPretrainDataset:
         rng.shuffle(buf := np.array(buf, dtype=object))
         yield from buf.tolist()
 
-    def __iter__(self) -> Iterator[dict]:
+    def iter_from(self, start_step: int) -> Iterator[dict]:
+        """Batch stream from a global step. Pre-``start_step`` batches are
+        skipped WITHOUT tokenising/collating (shard IO still replays, which
+        is what makes the resumed stream identical to the uninterrupted
+        one); the MLM mask is keyed by the global batch index, so a resumed
+        run reproduces an uninterrupted run's batches exactly."""
         epoch = 0
+        step = 0
         pending: List[str] = []
         while True:
             for seq in self._records(epoch):
                 pending.append(seq)
                 if len(pending) == self.batch_size:
-                    ids = self.tokenizer.encode_batch(pending)
-                    w = soft_mask_weights(pending, self.soft_masked_weight)
-                    yield self.collator(ids, loss_weights=w)
+                    if step >= start_step:
+                        ids = self.tokenizer.encode_batch(pending)
+                        w = soft_mask_weights(pending, self.soft_masked_weight)
+                        yield self.collator(
+                            ids, loss_weights=w,
+                            rng=np.random.default_rng([self.seed + 1, step]))
+                    step += 1
                     pending = []
             epoch += 1
+
+    def __iter__(self) -> Iterator[dict]:
+        return self.iter_from(0)
 
 
 def concat_chunks(sequences, window: int, tokenizer: DnaTokenizer,

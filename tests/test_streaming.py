@@ -66,3 +66,18 @@ def test_concat_chunks(rng):
     sep = tok.get_vocab()["[SEP]"]
     # separators present at record boundaries; no material dropped mid-stream
     assert flat[20] == sep and flat.count(sep) >= 2
+
+
+def test_streaming_iter_from_reproduces_stream(shard_dir):
+    """iter_from(k) equals the tail of the full stream without tokenising
+    the skipped prefix — resumable streaming with step-keyed masking."""
+    d, _ = shard_dir
+    mk = lambda: StreamingPretrainDataset(d, DnaTokenizer(), batch_size=16,
+                                          seq_column="seq", window=64, seed=9)
+    it = iter(mk())
+    full = [next(it) for _ in range(8)]
+    tail = mk().iter_from(5)
+    for want in full[5:]:
+        got = next(tail)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])

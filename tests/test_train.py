@@ -163,3 +163,56 @@ def test_lora_adapter_roundtrip(tmp_path, rng):
     assert cfg_l2.r == 4
     np.testing.assert_allclose(
         np.asarray(head["w"]), np.asarray(state.head["w"]))
+
+
+def test_dataset_iter_from_reproduces_stream():
+    """Batches are a pure function of (seed, step): iter_from(k) must equal
+    the tail of iter_from(0) array-for-array — the property checkpoint
+    autoresume relies on (the reference's HF Trainer replays/skips the
+    dataloader to get this; here re-keying makes the skip O(1))."""
+    tok = DnaTokenizer()
+    seqs = data_lib.sequence_source("synthetic", window=32, synthetic_n=40)
+    ds = data_lib.PretrainDataset(seqs, tok, batch_size=8, seed=5)
+    it = iter(ds)
+    full = [next(it) for _ in range(12)]  # crosses an epoch boundary (5/epoch)
+    tail = ds.iter_from(7)
+    for want in full[7:]:
+        got = next(tail)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_pretrain_cli_autoresume_is_exact(tmp_path):
+    """Kill-and-resume equivalence at the CLI level (SURVEY.md §5.3): a run
+    checkpointed at step 3 and resumed to 6 exports byte-identical params to
+    an uninterrupted 6-step run."""
+    import json
+
+    from plantcaduceus_tpu.cli import pretrain as pretrain_cli
+    from plantcaduceus_tpu.train import checkpoint as ckpt_lib
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(
+        dict(d_model=16, n_layer=2, vocab_size=16, d_state=4)))
+    common = ["--dataset", "synthetic", "--config", str(cfg_path),
+              "--window", "32", "--batch-size", "8", "--dtype", "float32",
+              "--log-steps", "1", "--eval-steps", "0", "--save-steps", "3"]
+
+    pretrain_cli.main(common + ["--max-steps", "6",
+                                "--output-dir", str(tmp_path / "full")])
+    # interrupted run: stop at 3 (simulated crash after the step-3 save),
+    # then autoresume from the same output dir
+    pretrain_cli.main(common + ["--max-steps", "3",
+                                "--output-dir", str(tmp_path / "resumed")])
+    pretrain_cli.main(common + ["--max-steps", "6",
+                                "--output-dir", str(tmp_path / "resumed")])
+
+    want, _ = ckpt_lib.load_params(tmp_path / "full" / "final")
+    got, _ = ckpt_lib.load_params(tmp_path / "resumed" / "final")
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got))
+    assert flat_w
+    for path, w in flat_w:
+        np.testing.assert_array_equal(np.asarray(w),
+                                      np.asarray(flat_g[path]),
+                                      err_msg=str(path))
