@@ -93,12 +93,9 @@ def forward(params: Params, input_ids: jax.Array, cfg: BertConfig,
     x = params["embedding"].astype(dtype)[input_ids]
     x = layer_norm(x, params["emb_ln_w"], params["emb_ln_b"], cfg.norm_epsilon)
 
-    bias = None
-    if cfg.position == "alibi":
-        bias = attn_ops.alibi_bias(H, L)
-    mask = None
-    if cfg.local_window is not None:
-        mask = attn_ops.local_window_mask(L, cfg.local_window)
+    # ALiBi / local windows pass as structured forms: on TPU they hit the
+    # Pallas flash kernel (bias rebuilt in-kernel, no [L, L] tensors).
+    alibi = cfg.position == "alibi"
     cos = sin = None
     if cfg.position == "rope":
         cos, sin = rope_ops.rope_tables(
@@ -111,7 +108,8 @@ def forward(params: Params, input_ids: jax.Array, cfg: BertConfig,
         if cos is not None:
             q = rope_ops.apply_rotary(q, cos, sin)
             k = rope_ops.apply_rotary(k, cos, sin)
-        a = attn_ops.multi_head_attention(q, k, v, bias=bias, mask=mask)
+        a = attn_ops.multi_head_attention(q, k, v, alibi=alibi,
+                                          local_window=cfg.local_window)
         a = a.reshape(B, L, cfg.d_model)
         a = a @ lp["attn_out_w"].astype(dtype) + lp["attn_out_b"].astype(dtype)
         # post-norm residual (BERT convention)

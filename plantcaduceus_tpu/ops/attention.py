@@ -62,10 +62,45 @@ def multi_head_attention(
     bias: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     causal: bool = False,
+    alibi: bool = False,
+    local_window: Optional[int] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """q, k, v: [B, L, H, hd]. bias: broadcastable to [B, H, L, L]
     (e.g. alibi_bias -> [H, L, L]). mask: additive, same broadcast.
-    Returns [B, L, H, hd]. Softmax in fp32."""
+    Returns [B, L, H, hd]. Softmax in fp32.
+
+    Structured bias forms — ``alibi=True`` (symmetric MosaicBERT ALiBi) and
+    ``local_window`` — may be given instead of materialised bias/mask
+    arrays; on TPU (``impl='auto'``) they dispatch to the Pallas flash
+    kernel (ops.pallas_attention), which rebuilds them from block indices
+    in-kernel and never forms the [L, L] score matrix. ``impl`` forces a
+    backend: auto | flash | xla."""
+    if alibi and bias is not None:
+        raise ValueError("pass either alibi=True or an explicit bias")
+    if impl == "auto":
+        structured = alibi or local_window is not None or causal
+        L = q.shape[1]
+        tileable = L <= 128 or L % 128 == 0
+        impl = ("flash" if (structured and bias is None and mask is None
+                            and tileable
+                            and jax.default_backend() == "tpu")
+                else "xla")
+    if impl == "flash":
+        if bias is not None or mask is not None:
+            raise ValueError("flash impl takes structured bias forms only "
+                             "(alibi/local_window/causal), not arrays")
+        from plantcaduceus_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(
+            q, k, v,
+            alibi_slopes=alibi_slopes(q.shape[2]) if alibi else None,
+            causal=causal, local_window=local_window)
+    if alibi:
+        bias = alibi_bias(q.shape[2], q.shape[1])
+    if local_window is not None:
+        lw = local_window_mask(q.shape[1], local_window)
+        mask = lw if mask is None else mask + lw
     hd = q.shape[-1]
     scale = 1.0 / math.sqrt(hd)
     logits = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32) * scale
