@@ -124,6 +124,9 @@ def _build(args, task_type, num_labels):
 
     params, cfg, tok = load_model_and_tokenizer(args.model_name)
     mesh = meshlib.make_mesh()
+    # Checkpoint restores commit arrays to one device; replicate over the
+    # mesh or shard_map rejects them on multi-device meshes.
+    params = meshlib.shard_params(params, mesh, replicated=True)
     cfg_l = lora_lib.LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
                                 dropout=args.lora_dropout)
     if num_labels is None:
@@ -274,6 +277,12 @@ def cmd_evaluate(args):
     m = _task_metrics(task_type, logits, labels, M)
     log.info("Results: %s", m)
     print("\n".join(f"{k}\t{v:.6f}" for k, v in m.items()))
+    if getattr(args, "metrics_json", None):
+        import json as _json
+        from pathlib import Path as _Path
+
+        _Path(args.metrics_json).write_text(
+            _json.dumps({k: float(v) for k, v in m.items()}, indent=1))
 
 
 def cmd_predict(args):
@@ -381,6 +390,8 @@ def main(argv=None):
     ev.add_argument("--checkpoint-dir", required=True)
     ev.add_argument("--data-dir", required=True)
     ev.add_argument("--batch-size", type=int, default=8)
+    ev.add_argument("--metrics-json", default=None,
+                    help="also write the metrics dict to this JSON path")
     ev.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("predict")

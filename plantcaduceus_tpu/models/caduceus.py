@@ -434,12 +434,18 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
              dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
              remat: bool = False, fused_inference: bool = False,
-             sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
+             sp_axis: Optional[str] = None, sp_shards: int = 1,
+             collect_layers: bool = False):
     """Run embedding + n_layer blocks + final norm.
 
     Returns the *working-frame* hidden states ``[S*B, L, d]`` where S=2 when
     rcps (rows B: are the RC stream) else 1. Use :func:`readout_hidden` to
     convert to the HF-contract ``[B, L, hidden_size]`` layout.
+
+    ``collect_layers=True`` returns ``(final, per_layer)`` where per_layer is
+    ``[n_layer, S*B, L, d]`` — each block's residual-stream input (the HF
+    ``output_hidden_states`` tuple's entries 0..n_layer-1; the final
+    post-norm output is the tuple's last entry).
     """
     ids = input_ids
     if cfg.rcps:
@@ -457,15 +463,17 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
         out = mamba_mixer(lp, normed, cfg, tp_axis=tp_axis,
                           fused_inference=fused_inference,
                           sp_axis=sp_axis, sp_shards=sp_shards)
-        return res + out.astype(res.dtype), None
+        y = res.astype(dtype) if collect_layers else None
+        return res + out.astype(res.dtype), y
 
     if remat:
         # Rematerialise each block in the backward pass: activation memory
         # drops from O(n_layer * L * d) to O(L * d) at ~33% extra FLOPs —
         # the standard TPU HBM trade (jax.checkpoint composes with lax.scan).
         block_fn = jax.checkpoint(block_fn)
-    residual, _ = jax.lax.scan(block_fn, residual, params["blocks"])
-    return _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
+    residual, per_layer = jax.lax.scan(block_fn, residual, params["blocks"])
+    final = _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
+    return (final, per_layer) if collect_layers else final
 
 
 def readout_hidden(h_work: jax.Array, cfg: CaduceusConfig,
@@ -509,6 +517,7 @@ def forward(
     cfg: CaduceusConfig,
     dtype=jnp.bfloat16,
     output_hidden_states: bool = False,
+    all_hidden_states: bool = False,
     tp_axis: Optional[str] = None,
     remat: bool = False,
     fused_inference: bool = False,
@@ -517,6 +526,11 @@ def forward(
 ) -> Dict[str, jax.Array]:
     """Full masked-LM forward. Returns dict with ``logits`` and optionally
     ``hidden_states`` (final layer only — the entry the reference reads).
+    ``all_hidden_states=True`` additionally returns the full HF
+    ``output_hidden_states`` tuple as one stacked ``[n_layer+1, B, L, 2d]``
+    array (entry k = block k's residual-stream input, last entry = the
+    post-norm final state == ``hidden_states``) — the intermediate-layer
+    API of AutoModelForMaskedLM(output_hidden_states=True).
     ``fused_inference`` selects the whole-mixer kernel (the inference engine
     sets it; the kernel is also used under training). ``sp_axis``/``sp_shards``
     enable context parallelism: call inside shard_map with the L axis of
@@ -524,10 +538,19 @@ def forward(
     same way."""
     h_work = backbone(params, input_ids, cfg, dtype=dtype, tp_axis=tp_axis,
                       remat=remat, fused_inference=fused_inference,
-                      sp_axis=sp_axis, sp_shards=sp_shards)
+                      sp_axis=sp_axis, sp_shards=sp_shards,
+                      collect_layers=all_hidden_states)
+    per_layer = None
+    if all_hidden_states:
+        h_work, per_layer = h_work
     out = {"logits": lm_logits(params, h_work, cfg, sp_axis, sp_shards)}
-    if output_hidden_states:
+    if output_hidden_states or all_hidden_states:
         out["hidden_states"] = readout_hidden(h_work, cfg, sp_axis, sp_shards)
+    if all_hidden_states:
+        stacked = jax.vmap(
+            lambda h: readout_hidden(h, cfg, sp_axis, sp_shards))(per_layer)
+        out["all_hidden_states"] = jnp.concatenate(
+            [stacked, out["hidden_states"][None]], axis=0)
     return out
 
 

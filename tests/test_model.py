@@ -108,3 +108,18 @@ def test_unidirectional_path(rng):
                                np.asarray(out2["logits"][0, 0]), atol=1e-6)
     assert not np.allclose(np.asarray(out["logits"][0, -1]),
                            np.asarray(out2["logits"][0, -1]))
+
+
+def test_all_hidden_states(tiny_setup, rng):
+    """Full HF output_hidden_states tuple: [n_layer+1, B, L, 2d] stacked,
+    entry k = block k's residual input, last entry == hidden_states."""
+    cfg, params = tiny_setup
+    ids = _random_ids(rng, 2, 32)
+    out = caduceus.forward(params, ids, cfg, dtype=jnp.float32,
+                           all_hidden_states=True)
+    hs = out["all_hidden_states"]
+    assert hs.shape == (cfg.n_layer + 1, 2, 32, 2 * cfg.d_model)
+    np.testing.assert_array_equal(np.asarray(hs[-1]),
+                                  np.asarray(out["hidden_states"]))
+    # entry 0 is the embedding readout — RC-stream channels present
+    assert not np.allclose(np.asarray(hs[0]), np.asarray(hs[-1]))
