@@ -70,9 +70,19 @@ def _linear_init(key, fan_in, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def _dt_bias_init(key, shape, dt_min=1e-3, dt_max=1e-1, dt_floor=1e-4):
+    """mamba_ssm dt-bias init: softplus(bias) ~ LogUniform(dt_min, dt_max)."""
+    u = jax.random.uniform(key, shape)
+    dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+    dt = jnp.clip(dt, dt_floor, None)
+    return dt + jnp.log(-jnp.expm1(-dt))  # inverse softplus
+
+
 def init_params(rng: jax.Array, cfg: CaduceusConfig, dtype=jnp.float32) -> Params:
     """Build the parameter pytree. Block params are stacked on a leading
     n_layer axis so the forward pass can ``lax.scan`` over layers."""
+    if cfg.ssm_variant == "mamba2":
+        return _init_params_mamba2(rng, cfg, dtype)
     d, di, N, R, K = cfg.d_model, cfg.d_inner, cfg.d_state, cfg.dt_rank, cfg.d_conv
     G = cfg.n_directions
     Gio = 1 if (cfg.bidirectional_weight_tie or G == 1) else G
@@ -82,12 +92,7 @@ def init_params(rng: jax.Array, cfg: CaduceusConfig, dtype=jnp.float32) -> Param
 
     # dt_proj special init (mamba_ssm): weight U(+-dt_rank^-0.5); bias such
     # that softplus(bias) ~ LogUniform(dt_min, dt_max).
-    dt_min, dt_max, dt_floor = 1e-3, 1e-1, 1e-4
-    u = jax.random.uniform(keys[0], (L_, G, di))
-    dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
-    dt = jnp.clip(dt, dt_floor, None)
-    # inverse softplus
-    dt_bias = dt + jnp.log(-jnp.expm1(-dt))
+    dt_bias = _dt_bias_init(keys[0], (L_, G, di))
 
     A = jnp.tile(jnp.arange(1, N + 1, dtype=jnp.float32), (L_, G, di, 1))
 
@@ -119,6 +124,58 @@ def init_params(rng: jax.Array, cfg: CaduceusConfig, dtype=jnp.float32) -> Param
             "dt_proj_b": dt_bias.astype(jnp.float32),
             "A_log": jnp.log(A),           # fp32 always (scan numerics)
             "D": jnp.ones((L_, G, di), jnp.float32),
+        },
+        "norm_f_weight": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = 0.02 * jax.random.normal(
+            jax.random.fold_in(rng, 99), (cfg.vocab_size, d)
+        ).astype(dtype)
+    return params
+
+
+def _init_params_mamba2(rng: jax.Array, cfg: CaduceusConfig,
+                        dtype=jnp.float32) -> Params:
+    """Parameter pytree for the SSD (Mamba-2) variant.
+
+    Follows mamba_ssm ``Mamba2`` defaults where they exist (A ~ U(1, 16) per
+    head, dt-bias log-uniform, D = 1, gated RMSNorm before out_proj); the
+    bidirectional/RCPS composition mirrors the Mamba-1 layout: direction is a
+    leading group axis G, in/out projections (and the gated-norm weight) tied
+    across directions when ``bidirectional_weight_tie``. B/C/dt projections
+    are per-direction (the analogue of Mamba-1's per-direction x_proj).
+    """
+    d, di, N, K = cfg.d_model, cfg.d_inner, cfg.d_state, cfg.d_conv
+    H, NGN = cfg.n_heads, cfg.n_groups * cfg.d_state
+    G = cfg.n_directions
+    Gio = 1 if (cfg.bidirectional_weight_tie or G == 1) else G
+    L_ = cfg.n_layer
+
+    keys = jax.random.split(rng, 12)
+    A = jax.random.uniform(keys[1], (L_, G, H), minval=1.0, maxval=16.0)
+    in_proj = _linear_init(keys[3], d, (L_, Gio, d, 2 * di))
+    out_proj = _linear_init(keys[2], di, (L_, Gio, di, d)) / math.sqrt(2 * L_)
+
+    params: Params = {
+        "embedding": (0.02 * jax.random.normal(keys[0], (cfg.vocab_size, d))).astype(dtype),
+        "blocks": {
+            "norm_weight": jnp.ones((L_, d), dtype),
+            "in_proj_x": in_proj[..., :di].astype(dtype),
+            "in_proj_z": in_proj[..., di:].astype(dtype),
+            "in_proj_B": _linear_init(keys[4], d, (L_, G, d, NGN)).astype(dtype),
+            "in_proj_C": _linear_init(keys[5], d, (L_, G, d, NGN)).astype(dtype),
+            "in_proj_dt": _linear_init(keys[6], d, (L_, G, d, H)).astype(dtype),
+            "conv_x_w": _linear_init(keys[7], K, (L_, G, di, K)).astype(dtype),
+            "conv_x_b": _linear_init(keys[8], K, (L_, G, di)).astype(dtype),
+            "conv_B_w": _linear_init(keys[9], K, (L_, G, NGN, K)).astype(dtype),
+            "conv_B_b": jnp.zeros((L_, G, NGN), dtype),
+            "conv_C_w": _linear_init(keys[10], K, (L_, G, NGN, K)).astype(dtype),
+            "conv_C_b": jnp.zeros((L_, G, NGN), dtype),
+            "mixer_norm_weight": jnp.ones((L_, Gio, di), dtype),
+            "out_proj": out_proj.astype(dtype),
+            "dt_bias": _dt_bias_init(keys[11], (L_, G, H)).astype(jnp.float32),
+            "A_log": jnp.log(A),           # fp32 always (decay numerics)
+            "D": jnp.ones((L_, G, H), jnp.float32),
         },
         "norm_f_weight": jnp.ones((d,), dtype),
     }
@@ -431,6 +488,88 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     return outs[0] * outs[1]  # ew_multiply
 
 
+def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
+                 tp_axis: Optional[str] = None,
+                 fused_inference: bool = False,
+                 sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
+    """One (Bi)Mamba-2 (SSD) mixer over ``x: [B, L, d]``.
+
+    Same stream/direction folding as :func:`mamba_mixer`; the recurrence is
+    the MXU chunked-matmul SSD (ops/ssd.py) instead of the VPU selective
+    scan. The reverse direction runs natively anticausal (conv + SSD) — no
+    time flips. Per direction: gated RMSNorm(y * silu(z)) before the (tied)
+    out_proj, following mamba_ssm's Mamba2 module structure.
+
+    Not yet wired: tensor/sequence parallelism (the SSD chunk-state exchange
+    over a seq axis is a [H, N, P]-per-boundary ppermute — design analogue of
+    ops/seq_parallel.py; raise until implemented).
+    """
+    if tp_axis is not None or sp_axis is not None:
+        raise NotImplementedError(
+            "mamba2 mixer: tensor/sequence parallelism not wired yet "
+            "(use data/fsdp axes)")
+    from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+    from plantcaduceus_tpu.ops.ssd import ssd_chunked
+
+    G = cfg.n_directions
+    NG, N, H, Pd = cfg.n_groups, cfg.d_state, cfg.n_heads, cfg.head_dim
+    cdtype = x.dtype
+
+    xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
+    z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
+    Braw = jnp.einsum("bld,gdn->gbln", x, p["in_proj_B"].astype(cdtype))
+    Craw = jnp.einsum("bld,gdn->gbln", x, p["in_proj_C"].astype(cdtype))
+    dt = jnp.einsum("bld,gdh->gblh", x, p["in_proj_dt"].astype(cdtype))
+
+    xs, Bs, Cs = [], [], []
+    for g in range(G):
+        anti = g == 1
+        x_in = xi[0] if xi.shape[0] == 1 else xi[g]
+        xs.append(depthwise_conv_xla(
+            x_in, p["conv_x_w"][g].astype(cdtype),
+            p["conv_x_b"][g].astype(cdtype), activation="silu",
+            anticausal=anti))
+        Bs.append(depthwise_conv_xla(
+            Braw[g], p["conv_B_w"][g].astype(cdtype),
+            p["conv_B_b"][g].astype(cdtype), activation="silu",
+            anticausal=anti))
+        Cs.append(depthwise_conv_xla(
+            Craw[g], p["conv_C_w"][g].astype(cdtype),
+            p["conv_C_b"][g].astype(cdtype), activation="silu",
+            anticausal=anti))
+    B_, L_ = x.shape[0], x.shape[1]
+    xg = jnp.stack(xs).reshape(G, B_, L_, H, Pd)
+    Bm = jnp.stack(Bs).reshape(G, B_, L_, NG, N)
+    Cm = jnp.stack(Cs).reshape(G, B_, L_, NG, N)
+
+    y = ssd_chunked(
+        xg, dt, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
+        dt_bias=p["dt_bias"], chunk=cfg.chunk_size,
+        directions=tuple(g == 1 for g in range(G)),
+    ).reshape(G, B_, L_, H * Pd)
+
+    gate = jax.nn.silu(z)  # [Gio, B, L, di]
+    outs = []
+    for g in range(G):
+        zg = gate[min(g, gate.shape[0] - 1)]
+        wn = p["mixer_norm_weight"][min(g, p["mixer_norm_weight"].shape[0] - 1)]
+        u = rms_norm(y[g] * zg, wn.astype(cdtype), cfg.norm_epsilon)
+        outs.append(u)
+    if G == 2 and p["out_proj"].shape[0] == 1 \
+            and cfg.bidirectional_strategy == "add":
+        # Tied+add fast path: sum the normed streams, one out_proj matmul.
+        return (outs[0] + outs[1]) @ p["out_proj"][0].astype(cdtype)
+    projs = [
+        o @ p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype)
+        for g, o in enumerate(outs)
+    ]
+    if G == 1:
+        return projs[0]
+    if cfg.bidirectional_strategy == "add":
+        return projs[0] + projs[1]
+    return projs[0] * projs[1]  # ew_multiply
+
+
 def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
              dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
              remat: bool = False, fused_inference: bool = False,
@@ -458,11 +597,13 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
     # h_k = mixer(norm(res_k)); res_{k+1} = res_k + h_k. Final: norm_f(res_{n+1}).
     residual = hidden.astype(jnp.float32 if cfg.residual_in_fp32 else dtype)
 
+    mixer_fn = mamba2_mixer if cfg.ssm_variant == "mamba2" else mamba_mixer
+
     def block_fn(res, lp):
         normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
-        out = mamba_mixer(lp, normed, cfg, tp_axis=tp_axis,
-                          fused_inference=fused_inference,
-                          sp_axis=sp_axis, sp_shards=sp_shards)
+        out = mixer_fn(lp, normed, cfg, tp_axis=tp_axis,
+                       fused_inference=fused_inference,
+                       sp_axis=sp_axis, sp_shards=sp_shards)
         y = res.astype(dtype) if collect_layers else None
         return res + out.astype(res.dtype), y
 

@@ -27,6 +27,16 @@ PRESETS: Dict[str, dict] = {
     "pc2-large": dict(d_model=1536, n_layer=48),   # PlantCAD2-Large,  8192 bp
 }
 
+# SSD (Mamba-2) variants of every size — beyond the reference (which is
+# Mamba-1 only): scalar-per-head decay turns the recurrence into chunked
+# matmuls on the MXU instead of a VPU-bound scan (docs/DESIGN.md §5, ops/ssd.py).
+# d_state rises to 128 (the Mamba-2 default) because extra state is nearly
+# free in the matmul formulation.
+PRESETS.update({
+    f"{name}-ssd": dict(kw, ssm_variant="mamba2", d_state=128)
+    for name, kw in list(PRESETS.items())
+})
+
 
 @dataclasses.dataclass
 class CaduceusConfig:
@@ -60,10 +70,25 @@ class CaduceusConfig:
     # Kernel selection for the selective scan:
     # auto (pallas on TPU, associative elsewhere) | associative | sequential | pallas
     scan_impl: str = "auto"
+    # SSM variant: "mamba1" (selective scan — the released-model architecture)
+    # or "mamba2" (SSD, scalar-per-head decay, MXU chunked-matmul recurrence).
+    ssm_variant: str = "mamba1"
+    head_dim: int = 64     # mamba2: head size P (d_inner = n_heads * head_dim)
+    n_groups: int = 1      # mamba2: B/C groups shared across heads
+    chunk_size: int = 128  # mamba2: SSD chunk length (L % chunk_size == 0)
 
     def __post_init__(self):
         if self.dt_rank is None:
             self.dt_rank = math.ceil(self.d_model / 16)
+        if self.ssm_variant not in ("mamba1", "mamba2"):
+            raise ValueError(f"bad ssm_variant {self.ssm_variant!r}")
+        if self.ssm_variant == "mamba2":
+            if self.d_inner % self.head_dim:
+                raise ValueError(
+                    f"d_inner={self.d_inner} not divisible by head_dim={self.head_dim}")
+            if self.n_heads % self.n_groups:
+                raise ValueError(
+                    f"n_heads={self.n_heads} not divisible by n_groups={self.n_groups}")
         if self.vocab_size % 8 != 0:
             # Reference pads vocab to a multiple of 8 (caduceus.py:124-125).
             self.vocab_size += 8 - (self.vocab_size % 8)
@@ -87,6 +112,11 @@ class CaduceusConfig:
     @property
     def d_inner(self) -> int:
         return self.expand * self.d_model
+
+    @property
+    def n_heads(self) -> int:
+        """mamba2 only: number of SSD heads."""
+        return self.d_inner // self.head_dim
 
     @property
     def hidden_size(self) -> int:

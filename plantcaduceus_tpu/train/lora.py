@@ -23,8 +23,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from plantcaduceus_tpu.models import heads
 from plantcaduceus_tpu.models.config import CaduceusConfig
 
+# The reference's target_modules = [x_proj, in_proj, out_proj]
+# (src/lora_fine_tune.py:615) in this framework's split naming. Names not
+# present in the model are skipped at init, so the same default covers both
+# SSM variants: mamba1 has x_proj_*, mamba2 (SSD) has in_proj_B/C/dt instead.
 DEFAULT_TARGETS = ("in_proj_x", "in_proj_z", "out_proj",
-                   "x_proj_dt", "x_proj_B", "x_proj_C")
+                   "x_proj_dt", "x_proj_B", "x_proj_C",
+                   "in_proj_B", "in_proj_C", "in_proj_dt")
 
 
 class LoraConfig(NamedTuple):
@@ -40,8 +45,11 @@ def init_lora(rng: jax.Array, params, cfg_l: LoraConfig,
     delta starts at zero)."""
     adapters = {}
     blocks = params["blocks"]
-    keys = jax.random.split(rng, len(cfg_l.targets))
-    for k, name in zip(keys, cfg_l.targets):
+    targets = [n for n in cfg_l.targets if n in blocks]
+    if not targets:
+        raise ValueError(f"no LoRA targets {cfg_l.targets} found in model")
+    keys = jax.random.split(rng, len(targets))
+    for k, name in zip(keys, targets):
         W = blocks[name]                       # [L, G?, in, out]
         *lead, fan_in, fan_out = W.shape
         a = jax.random.normal(k, (*lead, fan_in, cfg_l.r)) * (1.0 / cfg_l.r)
