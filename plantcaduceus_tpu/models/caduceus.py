@@ -538,15 +538,34 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
             p["conv_C_b"][g].astype(cdtype), activation="silu",
             anticausal=anti))
     B_, L_ = x.shape[0], x.shape[1]
-    xg = jnp.stack(xs).reshape(G, B_, L_, H, Pd)
-    Bm = jnp.stack(Bs).reshape(G, B_, L_, NG, N)
-    Cm = jnp.stack(Cs).reshape(G, B_, L_, NG, N)
 
-    y = ssd_chunked(
-        xg, dt, -jnp.exp(p["A_log"]), Bm, Cm, p["D"],
-        dt_bias=p["dt_bias"], chunk=cfg.chunk_size,
-        directions=tuple(g == 1 for g in range(G)),
-    ).reshape(G, B_, L_, H * Pd)
+    from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir, supported
+
+    impl = cfg.scan_impl
+    if impl in ("auto", "pallas"):
+        impl = ("pallas" if jax.default_backend() == "tpu" and supported(
+            (G, B_, L_, H, Pd), None, (NG, N), cfg.chunk_size) else "xla")
+    else:
+        impl = "xla"
+    A = -jnp.exp(p["A_log"])
+    if impl == "pallas":
+        # Per-direction flat call: conv outputs feed the kernel without any
+        # stack/reshape HBM pass; D-skip/bias/softplus happen in-kernel.
+        y = [
+            ssd_dir(xs[g], dt[g], A[g], Bs[g].reshape(B_, L_, NG, N),
+                    Cs[g].reshape(B_, L_, NG, N), p["D"][g], p["dt_bias"][g],
+                    cfg.chunk_size, g == 1)
+            for g in range(G)
+        ]
+    else:
+        y5 = ssd_chunked(
+            jnp.stack(xs).reshape(G, B_, L_, H, Pd), dt, A,
+            jnp.stack(Bs).reshape(G, B_, L_, NG, N),
+            jnp.stack(Cs).reshape(G, B_, L_, NG, N), p["D"],
+            dt_bias=p["dt_bias"], chunk=cfg.chunk_size,
+            directions=tuple(g == 1 for g in range(G)),
+        )
+        y = [y5[g].reshape(B_, L_, H * Pd) for g in range(G)]
 
     gate = jax.nn.silu(z)  # [Gio, B, L, di]
     outs = []

@@ -73,7 +73,10 @@ class CaduceusConfig:
     # SSM variant: "mamba1" (selective scan — the released-model architecture)
     # or "mamba2" (SSD, scalar-per-head decay, MXU chunked-matmul recurrence).
     ssm_variant: str = "mamba1"
-    head_dim: int = 64     # mamba2: head size P (d_inner = n_heads * head_dim)
+    # mamba2 head size P (d_inner = n_heads * head_dim). 128 (vs mamba_ssm's
+    # default 64) so every per-head SSD dot is a full 128-lane MXU tile —
+    # the Pallas kernel requires P % 128 == 0 (ops/pallas_ssd.py).
+    head_dim: int = 128
     n_groups: int = 1      # mamba2: B/C groups shared across heads
     chunk_size: int = 128  # mamba2: SSD chunk length (L % chunk_size == 0)
 

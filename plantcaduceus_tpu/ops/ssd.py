@@ -119,65 +119,75 @@ def ssd_sequential(
     return y.astype(out_dtype)
 
 
-def _chunk_group(xg, dtg, Ag, Bg, Cg, chunk, rev):
+def _chunk_group(xg, dtg, Ag, Bg, Cg, chunk, rev, mm_dtype=jnp.float32):
     """One direction of the chunked SSD. xg [B,L,H,P] fp32 (dt applied in),
-    dtg [B,L,H], Ag [H], Bg/Cg [B,L,NG,N]. Returns y [B,L,H,P] fp32."""
+    dtg [B,L,H], Ag [H], Bg/Cg [B,L,NG,N]. Returns y [B,L,H,P] fp32.
+
+    ``mm_dtype`` is the MXU operand dtype: decays, the inter-chunk state and
+    every accumulation stay fp32, but with bf16 inputs the matmul operands
+    (scores, x, B, C, boundary states) are cast to bf16 — halving the HBM
+    traffic of the materialised [T, T, H] score blocks and running the MXU
+    at its bf16 rate.
+    """
     B, L, H, P = xg.shape
     NG, N = Bg.shape[-2:]
     hg = H // NG
     T = min(chunk, L)
     assert L % T == 0, f"L={L} not divisible by chunk={T}"
     nc = L // T
+    f32 = jnp.float32
 
-    # [B, nc, T, ...]
-    xc = xg.reshape(B, nc, T, H, P)
-    dtc = dtg.reshape(B, nc, T, H)
-    Bc = Bg.reshape(B, nc, T, NG, N)
-    Cc = Cg.reshape(B, nc, T, NG, N)
+    # Head-major layout: every matmul below is a plain batched dot whose two
+    # minor-most axes are the matrix dims ([T,T]@[T,P], [N,T]@[T,P],
+    # [T,N]@[N,P]) — measured 10x+ faster on TPU than the time-major einsums
+    # (which strided the head axis through the matmul minors).
+    xh = jnp.transpose(xg.reshape(B, nc, T, NG, hg, P),
+                       (0, 1, 3, 4, 2, 5)).astype(mm_dtype)  # [B,nc,NG,hg,T,P]
+    dth = jnp.transpose(dtg.reshape(B, nc, T, NG, hg),
+                        (0, 1, 3, 4, 2))                      # [B,nc,NG,hg,T]
+    Bh = jnp.transpose(Bg.reshape(B, nc, T, NG, N),
+                       (0, 1, 3, 2, 4))                       # [B,nc,NG,T,N]
+    Ch = jnp.transpose(Cg.reshape(B, nc, T, NG, N), (0, 1, 3, 2, 4))
 
-    la = dtc * Ag  # [B,nc,T,H] log-decay per step (negative)
+    la = dth * Ag.reshape(NG, hg, 1)  # [B,nc,NG,hg,T] log-decay (negative)
+    cum = jnp.cumsum(la, axis=-1)
     if not rev:
         # cum[t] = Σ_{r<=t} la[r] (inclusive). decay(t←s) = exp(cum[t]-cum[s])
         # for s <= t; decay to chunk end = exp(cum[-1]-cum[t]).
-        cum = jnp.cumsum(la, axis=2)
-        seg = cum[:, :, :, None, :] - cum[:, :, None, :, :]  # [B,nc,T(t),T(s),H]
+        seg = cum[..., :, None] - cum[..., None, :]  # [B,nc,NG,hg,T(t),T(s)]
         mask = jnp.tril(jnp.ones((T, T), bool))
         into = cum  # decay from chunk start to (incl.) t, applied to S_prev
-        outof = cum[:, :, -1:, :] - cum  # t's contribution decay to chunk end
+        outof = cum[..., -1:] - cum  # t's contribution decay to chunk end
     else:
         # Anticausal: h[t] = a[t]*h[t+1] + dt[t]*B[t]⊗x[t]. Unrolled:
         # h[t] = Σ_{s>=t} exp(e[s]-e[t]) b[s] with e = exclusive left cumsum
         # (e[t] = Σ_{r<t} la[r]) — the mask transposes, no flips anywhere.
-        cum = jnp.cumsum(la, axis=2)
         e = cum - la  # exclusive left cumsum
-        seg = e[:, :, None, :, :] - e[:, :, :, None, :]  # [.., t, s, H]: e[s]-e[t]
+        seg = e[..., None, :] - e[..., :, None]  # [.., t, s]: e[s]-e[t]
         mask = jnp.triu(jnp.ones((T, T), bool))
         # decay from chunk END boundary state into position t: Σ_{r>=t} la[r]
-        into = cum[:, :, -1:, :] - e
+        into = cum[..., -1:] - e
         # contribution of position s to the chunk-START boundary state:
         # prod_{r<s} a[r] = exp(e[s])
         outof = e
 
-    segexp = jnp.exp(jnp.where(mask[None, None, :, :, None], seg, -jnp.inf))
+    segexp = jnp.exp(jnp.where(mask, seg, -jnp.inf))
 
     # scores[t,s] = (C[t]·B[s]) * segexp[t,s] * dt'[s]  → Y_intra = scores @ x
-    GBC = jnp.einsum("bctgn,bcsgn->bctsg", Cc, Bc)  # [B,nc,T,T,NG] (MXU)
-    scores = GBC[..., None] * segexp.reshape(
-        B, nc, T, T, NG, hg)  # [B,nc,T,T,NG,hg]
-    scores = scores * dtc.reshape(B, nc, 1, T, NG, hg)
-    y_intra = jnp.einsum(
-        "bctsgh,bcsghp->bctghp",
-        scores, xc.reshape(B, nc, T, NG, hg, P))  # (MXU)
+    GBC = jnp.einsum("bcgtn,bcgsn->bcgts", Ch.astype(mm_dtype),
+                     Bh.astype(mm_dtype),
+                     preferred_element_type=f32)  # [B,nc,NG,T,T] (MXU)
+    scores = GBC[:, :, :, None] * segexp * dth[..., None, :]
+    y_intra = jnp.einsum("bcghts,bcghsp->bcghtp", scores.astype(mm_dtype),
+                         xh, preferred_element_type=f32)  # (MXU)
 
-    # chunk boundary states: [B,nc,H,N,P]
-    w = Bc.reshape(B, nc, T, NG, 1, N) * (
-        dtc * jnp.exp(outof)).reshape(B, nc, T, NG, hg, 1)
-    states = jnp.einsum("bcsghn,bcsghp->bcghnp",
-                        w, xc.reshape(B, nc, T, NG, hg, P))  # (MXU)
+    # chunk boundary states: [B,nc,NG,hg,N,P]
+    w = Bh[:, :, :, None] * (dth * jnp.exp(outof))[..., None]
+    states = jnp.einsum("bcghtn,bcghtp->bcghnp", w.astype(mm_dtype),
+                        xh, preferred_element_type=f32)  # (MXU)
 
     # inter-chunk recurrence over nc chunk states (tiny sequential scan).
-    total = jnp.exp(jnp.sum(la, axis=2))  # [B,nc,H]
-    totalc = total.reshape(B, nc, NG, hg)
+    total = jnp.exp(jnp.sum(la, axis=-1))  # [B,nc,NG,hg]
 
     def step(S, inp):
         st, dec = inp  # [B,NG,hg,N,P], [B,NG,hg]
@@ -188,16 +198,19 @@ def _chunk_group(xg, dtg, Ag, Bg, Cg, chunk, rev):
     _, S_prev = jax.lax.scan(
         step,
         jnp.zeros((B, NG, hg, N, P), jnp.float32),
-        (jnp.moveaxis(states, 1, 0), jnp.moveaxis(totalc, 1, 0)),
+        (jnp.moveaxis(states, 1, 0), jnp.moveaxis(total, 1, 0)),
         reverse=rev,
     )
     S_prev = jnp.moveaxis(S_prev, 0, 1)  # [B,nc,NG,hg,N,P]
 
     # Y_inter[t] = (C[t] @ S_boundary) * exp(into[t])
-    y_inter = jnp.einsum("bctgn,bcghnp->bctghp", Cc, S_prev)  # (MXU)
-    y_inter = y_inter * jnp.exp(into).reshape(B, nc, T, NG, hg, 1)
+    y_inter = jnp.einsum("bcgtn,bcghnp->bcghtp", Ch.astype(mm_dtype),
+                         S_prev.astype(mm_dtype),
+                         preferred_element_type=f32)  # (MXU)
+    y_inter = y_inter * jnp.exp(into)[..., None]
 
-    return (y_intra + y_inter).reshape(B, L, H, P)
+    y = jnp.transpose(y_intra + y_inter, (0, 1, 4, 2, 3, 5))  # [B,nc,T,NG,hg,P]
+    return y.reshape(B, L, H, P)
 
 
 @functools.partial(jax.jit,
@@ -216,11 +229,15 @@ def ssd_chunked(
 ) -> jax.Array:
     """Chunked (matmul) SSD — the production path on TPU and CPU alike."""
     out_dtype = x.dtype
+    # bf16 activations keep bf16 MXU operands (fp32 decays/accumulation);
+    # fp32 inputs get a fully-fp32 computation (tests, parity checks).
+    mm_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
     x, dt, A, Bm, Cm, Dskip = _prep(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_softplus)
     G = x.shape[0]
     ys = [
         _chunk_group(x[g], dt[g], A[g], Bm[g], Cm[g], chunk,
-                     bool(directions[g]) if g < len(directions) else False)
+                     bool(directions[g]) if g < len(directions) else False,
+                     mm_dtype=mm_dtype)
         for g in range(G)
     ]
     y = jnp.stack(ys) + Dskip[:, None, None, :, None] * x
