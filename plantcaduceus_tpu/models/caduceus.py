@@ -520,26 +520,9 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     Braw = jnp.einsum("bld,gdn->gbln", x, p["in_proj_B"].astype(cdtype))
     Craw = jnp.einsum("bld,gdn->gbln", x, p["in_proj_C"].astype(cdtype))
     dt = jnp.einsum("bld,gdh->gblh", x, p["in_proj_dt"].astype(cdtype))
-
-    xs, Bs, Cs = [], [], []
-    for g in range(G):
-        anti = g == 1
-        x_in = xi[0] if xi.shape[0] == 1 else xi[g]
-        xs.append(depthwise_conv_xla(
-            x_in, p["conv_x_w"][g].astype(cdtype),
-            p["conv_x_b"][g].astype(cdtype), activation="silu",
-            anticausal=anti))
-        Bs.append(depthwise_conv_xla(
-            Braw[g], p["conv_B_w"][g].astype(cdtype),
-            p["conv_B_b"][g].astype(cdtype), activation="silu",
-            anticausal=anti))
-        Cs.append(depthwise_conv_xla(
-            Craw[g], p["conv_C_w"][g].astype(cdtype),
-            p["conv_C_b"][g].astype(cdtype), activation="silu",
-            anticausal=anti))
     B_, L_ = x.shape[0], x.shape[1]
 
-    from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir, supported
+    from plantcaduceus_tpu.ops.pallas_ssd import supported
 
     impl = cfg.scan_impl
     if impl in ("auto", "pallas"):
@@ -548,16 +531,44 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     else:
         impl = "xla"
     A = -jnp.exp(p["A_log"])
+
     if impl == "pallas":
-        # Per-direction flat call: conv outputs feed the kernel without any
-        # stack/reshape HBM pass; D-skip/bias/softplus happen in-kernel.
-        y = [
-            ssd_dir(xs[g], dt[g], A[g], Bs[g].reshape(B_, L_, NG, N),
-                    Cs[g].reshape(B_, L_, NG, N), p["D"][g], p["dt_bias"][g],
-                    cfg.chunk_size, g == 1)
+        # Whole-interior fused kernel per direction (conv + SSD + gated
+        # norm in VMEM — ops/pallas_mixer2.py): HBM traffic is the
+        # projections' inputs/outputs only.
+        from plantcaduceus_tpu.ops.pallas_mixer2 import mamba2_mixer_interior
+
+        outs = [
+            mamba2_mixer_interior(
+                xi[min(g, xi.shape[0] - 1)], z[min(g, z.shape[0] - 1)],
+                Braw[g], Craw[g], dt[g],
+                p["conv_x_w"][g], p["conv_x_b"][g],
+                p["conv_B_w"][g], p["conv_B_b"][g],
+                p["conv_C_w"][g], p["conv_C_b"][g],
+                p["mixer_norm_weight"][min(
+                    g, p["mixer_norm_weight"].shape[0] - 1)],
+                A[g], p["D"][g], p["dt_bias"][g],
+                d_state=N, eps=cfg.norm_epsilon, chunk=cfg.chunk_size,
+                reverse=g == 1)
             for g in range(G)
         ]
     else:
+        xs, Bs, Cs = [], [], []
+        for g in range(G):
+            anti = g == 1
+            x_in = xi[0] if xi.shape[0] == 1 else xi[g]
+            xs.append(depthwise_conv_xla(
+                x_in, p["conv_x_w"][g].astype(cdtype),
+                p["conv_x_b"][g].astype(cdtype), activation="silu",
+                anticausal=anti))
+            Bs.append(depthwise_conv_xla(
+                Braw[g], p["conv_B_w"][g].astype(cdtype),
+                p["conv_B_b"][g].astype(cdtype), activation="silu",
+                anticausal=anti))
+            Cs.append(depthwise_conv_xla(
+                Craw[g], p["conv_C_w"][g].astype(cdtype),
+                p["conv_C_b"][g].astype(cdtype), activation="silu",
+                anticausal=anti))
         y5 = ssd_chunked(
             jnp.stack(xs).reshape(G, B_, L_, H, Pd), dt, A,
             jnp.stack(Bs).reshape(G, B_, L_, NG, N),
@@ -567,13 +578,14 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
         )
         y = [y5[g].reshape(B_, L_, H * Pd) for g in range(G)]
 
-    gate = jax.nn.silu(z)  # [Gio, B, L, di]
-    outs = []
-    for g in range(G):
-        zg = gate[min(g, gate.shape[0] - 1)]
-        wn = p["mixer_norm_weight"][min(g, p["mixer_norm_weight"].shape[0] - 1)]
-        u = rms_norm(y[g] * zg, wn.astype(cdtype), cfg.norm_epsilon)
-        outs.append(u)
+        gate = jax.nn.silu(z)  # [Gio, B, L, di]
+        outs = []
+        for g in range(G):
+            zg = gate[min(g, gate.shape[0] - 1)]
+            wn = p["mixer_norm_weight"][min(
+                g, p["mixer_norm_weight"].shape[0] - 1)]
+            outs.append(rms_norm(y[g] * zg, wn.astype(cdtype),
+                                 cfg.norm_epsilon))
     if G == 2 and p["out_proj"].shape[0] == 1 \
             and cfg.bidirectional_strategy == "add":
         # Tied+add fast path: sum the normed streams, one out_proj matmul.

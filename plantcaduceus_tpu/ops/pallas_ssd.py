@@ -50,23 +50,24 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2E = 1.4426950408889634
 
 
-def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
-            *, T: int, H: int, P: int, NG: int, N: int, nc: int,
-            reverse: bool, out_dtype):
-    ci = pl.program_id(1)
+def ssd_chunk_core(x, dt_raw, Bc, Cc, dtb, A, Dsk, S_scr, *,
+                   T: int, H: int, P: int, NG: int, N: int,
+                   reverse: bool, out_dtype, mm=None):
+    """One chunk of the SSD recurrence on in-VMEM values.
 
-    @pl.when(ci == 0)
-    def _():
-        S_scr[:] = jnp.zeros_like(S_scr)
-
+    x [T, H*P], dt_raw [T, H] (pre-bias), Bc/Cc [T, NG, N], dtb/A/Dsk
+    [1, H]; S_scr: [N, H*P] fp32 scratch ref carrying the state across
+    chunks (caller resets it at the first chunk). Returns y [T, H*P] cast to
+    ``out_dtype``. Shared by the plain SSD kernel and the fused mixer
+    kernel (ops/pallas_mixer2.py)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
 
     dtp = jax.nn.softplus(
-        dt_ref[0].astype(jnp.float32) + dtb_ref[0].astype(jnp.float32))
+        dt_raw.astype(jnp.float32) + dtb.astype(jnp.float32))
     # Base-2 log-decay: exp2 lowers cheaper than exp on the VPU (same trick
     # as ops/pallas_scan.py's discretisation), so every decay below is exp2.
-    la = dtp * (A_ref[0].astype(jnp.float32) * LOG2E)  # [T, H], negative
+    la = dtp * (A.astype(jnp.float32) * LOG2E)     # [T, H], negative
     # Inclusive prefix sum as a lower-triangular-ones matmul: cumsum has no
     # Pallas TPU lowering, and the dot runs on the otherwise-idle MXU.
     cum = jax.lax.dot_general(
@@ -91,8 +92,8 @@ def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
 
     mask = (row >= col) if not reverse else (row <= col)
 
-    mm = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
-    x = x_ref[0]                                   # [T, H*P]
+    if mm is None:
+        mm = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
     hg = H // NG
 
     # Mosaic has no single-lane gather: per-head columns/rows come from
@@ -109,9 +110,10 @@ def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
     def rowv(mT, h):  # [1, T]
         return jax.lax.slice(mT, (h, 0), (h + 1, T))
 
+    y_out = []
     for g in range(NG):
-        Bg = B_ref[0, :, g, :]                     # [T, N]
-        Cg = C_ref[0, :, g, :]
+        Bg = Bc[:, g, :]                           # [T, N]
+        Cg = Cc[:, g, :]
         GBC = jax.lax.dot_general(
             Cg.astype(mm), Bg.astype(mm), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [T, T] = C[t]·B[s]
@@ -142,7 +144,7 @@ def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
             y_h = y_h + y_int[:, j * P:(j + 1) * P] * col(into_e, h)
             # D-skip in-kernel: saves a full read-modify-write HBM pass.
             y_h = y_h + x[:, h * P:(h + 1) * P].astype(jnp.float32) * \
-                jax.lax.slice(D_ref[...], (0, h), (1, h + 1))
+                jax.lax.slice(Dsk, (0, h), (1, h + 1))
             ys.append(y_h.astype(out_dtype))
             xs.append((xdt_h * col(scale, h)).astype(mm))
 
@@ -155,7 +157,23 @@ def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
         tot_rep = jnp.broadcast_to(
             tot_g.reshape(1, hg, 1), (1, hg, P)).reshape(1, hg * P)
         S_scr[:, sl] = tot_rep * S_g + states
-        y_ref[0, :, sl] = jnp.concatenate(ys, axis=1)
+        y_out.append(jnp.concatenate(ys, axis=1))
+    return jnp.concatenate(y_out, axis=1) if NG > 1 else y_out[0]
+
+
+def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
+            *, T: int, H: int, P: int, NG: int, N: int, nc: int,
+            reverse: bool, out_dtype):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        S_scr[:] = jnp.zeros_like(S_scr)
+
+    y_ref[0] = ssd_chunk_core(
+        x_ref[0], dt_ref[0], B_ref[0], C_ref[0], dtb_ref[...], A_ref[...],
+        D_ref[...], S_scr, T=T, H=H, P=P, NG=NG, N=N, reverse=reverse,
+        out_dtype=out_dtype)
 
 
 def _ssd_pallas_one(xf, dt, A, Bm, Cm, Dskip, dt_bias, chunk: int,
