@@ -500,20 +500,36 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     time flips. Per direction: gated RMSNorm(y * silu(z)) before the (tied)
     out_proj, following mamba_ssm's Mamba2 module structure.
 
-    Not yet wired: tensor/sequence parallelism (the SSD chunk-state exchange
-    over a seq axis is a [H, N, P]-per-boundary ppermute — design analogue of
-    ops/seq_parallel.py; raise until implemented).
+    Tensor parallelism: heads (and d_inner with them) shard over ``tp_axis``
+    — in_proj_x/z/dt, conv_x, dt_bias/A/D, the norm weight and out_proj are
+    head/d_inner-sharded; the group-shared B/C projections are REPLICATED
+    (every shard's heads read the full B/C), so their weight gradients are
+    per-shard partials that train.step._sync_grads psums over 'tensor'. The
+    gated RMS norm reduces over the full d_inner via a collective. Sequence
+    parallelism is not wired (the SSD chunk-state exchange over a seq axis
+    is a [H, N, P]-per-boundary ppermute — design analogue of
+    ops/seq_parallel.py).
     """
-    if tp_axis is not None or sp_axis is not None:
+    if sp_axis is not None:
         raise NotImplementedError(
-            "mamba2 mixer: tensor/sequence parallelism not wired yet "
-            "(use data/fsdp axes)")
+            "mamba2 mixer: sequence parallelism not wired yet")
     from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
     from plantcaduceus_tpu.ops.ssd import ssd_chunked
 
     G = cfg.n_directions
-    NG, N, H, Pd = cfg.n_groups, cfg.d_state, cfg.n_heads, cfg.head_dim
+    N = cfg.d_state
+    # Local (possibly tensor-sharded) sizes come from the weights.
+    H = p["in_proj_dt"].shape[-1]
+    di = p["in_proj_x"].shape[-1]
+    Pd = di // H
+    NG = p["in_proj_B"].shape[-1] // N
     cdtype = x.dtype
+    if tp_axis is not None:
+        if NG > 1:
+            raise NotImplementedError(
+                "mamba2 tensor parallelism requires n_groups == 1 (grouped "
+                "B/C would need group-aligned head sharding)")
+        x = _tp_boundary(x, tp_axis)
 
     xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
     z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
@@ -532,10 +548,11 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
         impl = "xla"
     A = -jnp.exp(p["A_log"])
 
-    if impl == "pallas":
+    if impl == "pallas" and fused_inference and tp_axis is None:
         # Whole-interior fused kernel per direction (conv + SSD + gated
         # norm in VMEM — ops/pallas_mixer2.py): HBM traffic is the
-        # projections' inputs/outputs only.
+        # projections' inputs/outputs only. Inference path — its VJP
+        # recomputes through XLA, so training takes the branch below.
         from plantcaduceus_tpu.ops.pallas_mixer2 import mamba2_mixer_interior
 
         outs = [
@@ -569,14 +586,27 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                 Craw[g], p["conv_C_w"][g].astype(cdtype),
                 p["conv_C_b"][g].astype(cdtype), activation="silu",
                 anticausal=anti))
-        y5 = ssd_chunked(
-            jnp.stack(xs).reshape(G, B_, L_, H, Pd), dt, A,
-            jnp.stack(Bs).reshape(G, B_, L_, NG, N),
-            jnp.stack(Cs).reshape(G, B_, L_, NG, N), p["D"],
-            dt_bias=p["dt_bias"], chunk=cfg.chunk_size,
-            directions=tuple(g == 1 for g in range(G)),
-        )
-        y = [y5[g].reshape(B_, L_, H * Pd) for g in range(G)]
+        if impl == "pallas":
+            # Training path: Pallas SSD forward + the hand-written Pallas
+            # adjoint (_bwd_kernel); convs/gate/norm stay XLA ops whose
+            # autodiff is matmul/elementwise-shaped.
+            from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir
+
+            y = [
+                ssd_dir(xs[g], dt[g], A[g], Bs[g].reshape(B_, L_, NG, N),
+                        Cs[g].reshape(B_, L_, NG, N), p["D"][g],
+                        p["dt_bias"][g], cfg.chunk_size, g == 1)
+                for g in range(G)
+            ]
+        else:
+            y5 = ssd_chunked(
+                jnp.stack(xs).reshape(G, B_, L_, H, Pd), dt, A,
+                jnp.stack(Bs).reshape(G, B_, L_, NG, N),
+                jnp.stack(Cs).reshape(G, B_, L_, NG, N), p["D"],
+                dt_bias=p["dt_bias"], chunk=cfg.chunk_size,
+                directions=tuple(g == 1 for g in range(G)),
+            )
+            y = [y5[g].reshape(B_, L_, H * Pd) for g in range(G)]
 
         gate = jax.nn.silu(z)  # [Gio, B, L, di]
         outs = []
@@ -584,14 +614,28 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
             zg = gate[min(g, gate.shape[0] - 1)]
             wn = p["mixer_norm_weight"][min(
                 g, p["mixer_norm_weight"].shape[0] - 1)]
-            outs.append(rms_norm(y[g] * zg, wn.astype(cdtype),
-                                 cfg.norm_epsilon))
+            u = y[g].astype(cdtype) * zg
+            if tp_axis is None:
+                outs.append(rms_norm(u, wn.astype(cdtype), cfg.norm_epsilon))
+            else:
+                # Gated RMS norm over the FULL (tensor-sharded) d_inner: the
+                # mean-of-squares is a collective whose output feeds every
+                # shard, so its backward psums (sharded-consumer rule).
+                uf = u.astype(jnp.float32)
+                ss = _maybe_psum_sharded_consumer(
+                    jnp.sum(uf * uf, axis=-1, keepdims=True), tp_axis)
+                ms = ss / cfg.d_inner
+                outs.append((uf * jax.lax.rsqrt(ms + cfg.norm_epsilon))
+                            .astype(cdtype) * wn.astype(cdtype))
     if G == 2 and p["out_proj"].shape[0] == 1 \
             and cfg.bidirectional_strategy == "add":
         # Tied+add fast path: sum the normed streams, one out_proj matmul.
-        return (outs[0] + outs[1]) @ p["out_proj"][0].astype(cdtype)
+        return _maybe_psum(
+            (outs[0] + outs[1]) @ p["out_proj"][0].astype(cdtype), tp_axis)
     projs = [
-        o @ p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype)
+        _maybe_psum(
+            o @ p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype),
+            tp_axis)
         for g, o in enumerate(outs)
     ]
     if G == 1:

@@ -161,14 +161,23 @@ def ssd_chunk_core(x, dt_raw, Bc, Cc, dtb, A, Dsk, S_scr, *,
     return jnp.concatenate(y_out, axis=1) if NG > 1 else y_out[0]
 
 
-def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
-            *, T: int, H: int, P: int, NG: int, N: int, nc: int,
-            reverse: bool, out_dtype):
+def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, *out_refs,
+            T: int, H: int, P: int, NG: int, N: int, nc: int,
+            reverse: bool, out_dtype, emit_fentry: bool):
+    if emit_fentry:
+        y_ref, fe_ref, S_scr = out_refs
+    else:
+        y_ref, S_scr = out_refs
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
     def _():
         S_scr[:] = jnp.zeros_like(S_scr)
+
+    if emit_fentry:
+        # Chunk-entry state for the backward kernel's chunk-local recompute
+        # (the pattern of ops/pallas_scan.py's emit_hb).
+        fe_ref[0, 0] = S_scr[...]
 
     y_ref[0] = ssd_chunk_core(
         x_ref[0], dt_ref[0], B_ref[0], C_ref[0], dtb_ref[...], A_ref[...],
@@ -177,9 +186,10 @@ def _kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, y_ref, S_scr,
 
 
 def _ssd_pallas_one(xf, dt, A, Bm, Cm, Dskip, dt_bias, chunk: int,
-                    reverse: bool):
+                    reverse: bool, emit_fentry: bool = False):
     """One direction. xf [R, L, H*P] flat; dt [R, L, H] raw (bias+softplus
-    in-kernel); Bm/Cm [R, L, NG, N]."""
+    in-kernel); Bm/Cm [R, L, NG, N]. With ``emit_fentry`` also returns the
+    per-chunk entry states [R, nc, N, H*P] (training forward)."""
     R, L, HP = xf.shape
     H = dt.shape[-1]
     P = HP // H
@@ -190,8 +200,15 @@ def _ssd_pallas_one(xf, dt, A, Bm, Cm, Dskip, dt_bias, chunk: int,
     cidx = (lambda r, c: (r, nc - 1 - c)) if reverse else (lambda r, c: (r, c))
     kern = functools.partial(
         _kernel, T=T, H=H, P=P, NG=NG, N=N, nc=nc, reverse=reverse,
-        out_dtype=xf.dtype)
-    return pl.pallas_call(
+        out_dtype=xf.dtype, emit_fentry=emit_fentry)
+    out_specs = [pl.BlockSpec((1, T, HP), lambda r, c: (*cidx(r, c), 0))]
+    out_shape = [jax.ShapeDtypeStruct((R, L, HP), xf.dtype)]
+    if emit_fentry:
+        out_specs.append(
+            pl.BlockSpec((1, 1, N, HP), lambda r, c: (*cidx(r, c), 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((R, nc, N, HP), jnp.float32))
+    out = pl.pallas_call(
         kern,
         grid=(R, nc),
         in_specs=[
@@ -203,14 +220,15 @@ def _ssd_pallas_one(xf, dt, A, Bm, Cm, Dskip, dt_bias, chunk: int,
             pl.BlockSpec((1, T, NG, N), lambda r, c: (*cidx(r, c), 0, 0)),
             pl.BlockSpec((1, T, NG, N), lambda r, c: (*cidx(r, c), 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T, HP), lambda r, c: (*cidx(r, c), 0)),
-        out_shape=jax.ShapeDtypeStruct((R, L, HP), xf.dtype),
+        out_specs=out_specs if emit_fentry else out_specs[0],
+        out_shape=out_shape if emit_fentry else out_shape[0],
         scratch_shapes=[pltpu.VMEM((N, H * P), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(dt_bias.reshape(1, H).astype(jnp.float32),
       A.reshape(1, H).astype(jnp.float32),
       Dskip.reshape(1, H).astype(jnp.float32), xf, dt, Bm, Cm)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -237,18 +255,251 @@ def _ssd_dir_xla(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse):
 
 
 def _ssd_dir_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse):
-    return ssd_dir(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse), \
-        (x, dt, A, Bm, Cm, Dskip, dt_bias)
+    y, fentry = _ssd_pallas_one(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk,
+                                reverse, emit_fentry=True)
+    return y, (x, dt, A, Bm, Cm, Dskip, dt_bias, fentry)
 
 
 def _ssd_dir_bwd(chunk, reverse, res, g):
-    """Adjoint through the XLA chunked formulation (matmul-shaped; see
-    module docstring)."""
-    f = functools.partial(_ssd_dir_xla, chunk=chunk, reverse=reverse)
-    return jax.vjp(f, *res)[1](g)
+    """Hand-written Pallas adjoint (see _bwd_kernel): chunk-local recompute
+    from the forward's emitted chunk-entry states, cotangent state carried
+    in VMEM. Scalar-parameter grads (dA, dD, ddt_bias) assemble outside the
+    kernel from the per-position outputs — cheap fused XLA reductions."""
+    x, dt, A, Bm, Cm, Dskip, dt_bias, fentry = res
+    dx, dB, dC, ddt_raw, dmass = _ssd_dir_bwd_kernel_call(
+        x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g, chunk, reverse)
+    R, L, HP = x.shape
+    H = dt.shape[-1]
+    dtp = jax.nn.softplus(dt.astype(jnp.float32)
+                          + dt_bias.astype(jnp.float32))
+    dA = jnp.einsum("rlh,rlh->h", dmass, dtp)
+    ddtb = jnp.sum(ddt_raw, axis=(0, 1))
+    gx = (g.astype(jnp.float32) * x.astype(jnp.float32)).reshape(
+        R, L, H, HP // H)
+    dD = jnp.sum(gx, axis=(0, 1, 3))
+    return (dx.astype(x.dtype), ddt_raw.astype(dt.dtype), dA.astype(A.dtype),
+            dB.astype(Bm.dtype), dC.astype(Cm.dtype), dD.astype(Dskip.dtype),
+            ddtb.astype(dt_bias.dtype))
 
 
 ssd_dir.defvjp(_ssd_dir_fwd, _ssd_dir_bwd)
+
+
+def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
+                fe_ref, dx_ref, dB_ref, dC_ref, ddt_ref, dm_ref, Rv_scr,
+                *, T: int, H: int, P: int, NG: int, N: int, nc: int,
+                reverse: bool, mm, out_dtype):
+    """Adjoint of one SSD chunk. Direction-generic via the forward's
+    segbase/into/outof/mask conventions; processes chunks in the opposite
+    order to the forward, carrying the cotangent state Rv in VMEM and
+    reading the forward's emitted chunk-entry states (fe_ref).
+
+    Math (per head; Rv[s] = Σ_t decay(t,s) C[t]⊗g[t] over the "future"):
+        dx̃[s] = scoresᵀ@g + exp2(outof[s])·B@Rv_exit     (x̃ = dt'·x)
+        dB[s]  = M_sumᵀ@C + Σ_h exp2(outof)·(x̃@Rv_exitᵀ)
+        dC[t]  = M_sum@B + Σ_h exp2(into)·(g@F_entryᵀ)
+        mass[r] (= ∂L/∂ log-decay[r]) = P[r] - x̃[r]·dx̃[r], with
+        P[r] = <Rv[r],F[r]> split into four bounded-exponent terms:
+        chunk-local (masked column-sum of (K@maskᵀ)), entry (a masked
+        cumsum of into_e·w), exit (masked cumsum of scale·v0), and
+        entry×exit (exp2(total)·<Rv_exit,F_entry>).
+    M_sum = Σ_h (g@x̃ᵀ)⊙segexp; every exponent above is ≤ 0.
+    """
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        Rv_scr[:] = jnp.zeros_like(Rv_scr)
+
+    f32 = jnp.float32
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    maskb = (row >= col) if not reverse else (row <= col)
+    maskf = maskb.astype(f32)
+
+    dt_raw = dt_ref[0].astype(f32)
+    dtb = dtb_ref[...].astype(f32)
+    A = A_ref[...].astype(f32)                     # [1, H], nat units
+    dtp = jax.nn.softplus(dt_raw + dtb)            # [T, H]
+    la = dtp * (A * LOG2E)
+    cum = jax.lax.dot_general(
+        (row >= col).astype(f32), la, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    total = jnp.sum(la, axis=0).reshape(1, H)
+    if not reverse:
+        segbase, into, outof = cum, cum, total - cum
+    else:
+        e = cum - la
+        segbase, into, outof = -e, total - e, e
+    into_e = jnp.exp2(into)                        # [T, H]
+    scale = jnp.exp2(outof)
+    tote = jnp.exp2(total)                         # [1, H]
+    segbase_T = jnp.transpose(segbase)
+
+    def colv(m, h):
+        return jax.lax.slice(m, (0, h), (T, h + 1))
+
+    def rowv(mT, h):
+        return jax.lax.slice(mT, (h, 0), (h + 1, T))
+
+    x = x_ref[0]
+    g = g_ref[0]
+    fe = fe_ref[0, 0]                              # [N, HP] fp32
+    hg = H // NG
+
+    cw, cv0, cmi, cdir, cxdx, csc = [], [], [], [], [], []
+    for gi in range(NG):
+        Bg = B_ref[0, :, gi, :]                    # [T, N]
+        Cg = C_ref[0, :, gi, :]
+        Bmm, Cmm = Bg.astype(mm), Cg.astype(mm)
+        Bf, Cf = Bg.astype(f32), Cg.astype(f32)
+        GBC = jax.lax.dot_general(
+            Cmm, Bmm, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)            # [T(t), T(s)]
+
+        sl = slice(gi * hg * P, (gi + 1) * hg * P)
+        Rv_g = Rv_scr[:, sl]                       # [N, hg*P] fp32
+        M_sum = jnp.zeros((T, T), f32)
+        dxs, gss, dBacc, dCacc = [], [], 0.0, 0.0
+        for j in range(hg):
+            h = gi * hg + j
+            seg = colv(segbase, h) - rowv(segbase_T, h)
+            segexp = jnp.exp2(jnp.where(maskb, seg, -jnp.inf))
+            scores = GBC * segexp
+            x_h = x[:, h * P:(h + 1) * P].astype(f32)
+            g_h = g[:, h * P:(h + 1) * P]
+            xt_h = x_h * colv(dtp, h)              # x̃
+            GXG = jax.lax.dot_general(
+                g_h.astype(mm), xt_h.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)        # [T(t), T(s)]
+            GXGseg = GXG * segexp
+            M_sum = M_sum + GXGseg
+            Kp = jax.lax.dot_general(
+                (GBC * GXGseg).astype(mm), maskf.astype(mm),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)        # [T(t), T(r)]
+            cmi.append(jnp.sum(Kp * maskf, axis=0).reshape(T, 1))
+
+            F_h = fe[:, h * P:(h + 1) * P]         # [N, P]
+            Rv_h = Rv_g[:, j * P:(j + 1) * P]
+            gF = jax.lax.dot_general(
+                g_h.astype(mm), F_h.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)        # [T, N]
+            xRv = jax.lax.dot_general(
+                xt_h.astype(mm), Rv_h.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)        # [T, N]
+            cw.append(jnp.sum(Cf * gF, axis=1).reshape(T, 1))
+            cv0.append(jnp.sum(Bf * xRv, axis=1).reshape(T, 1))
+            csc.append(jnp.sum(Rv_h * F_h).reshape(1, 1))
+            dCacc = dCacc + colv(into_e, h) * gF
+            dBacc = dBacc + colv(scale, h) * xRv
+
+            dxt = jax.lax.dot_general(
+                scores.astype(mm), g_h.astype(mm), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)        # [T(s), P]
+            dxt = dxt + colv(scale, h) * jax.lax.dot_general(
+                Bmm, Rv_h.astype(mm), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            cdir.append(jnp.sum(x_h * dxt, axis=1).reshape(T, 1))
+            cxdx.append(jnp.sum(xt_h * dxt, axis=1).reshape(T, 1))
+            dx_h = colv(dtp, h) * dxt + \
+                jax.lax.slice(D_ref[...].astype(f32), (0, h), (1, h + 1)) * \
+                g_h.astype(f32)
+            dxs.append(dx_h.astype(out_dtype))
+            gss.append((g_h.astype(f32) * colv(into_e, h)).astype(mm))
+
+        dB_g = jax.lax.dot_general(
+            M_sum.astype(mm), Cmm, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + dBacc    # [T(s), N]
+        dC_g = jax.lax.dot_general(
+            M_sum.astype(mm), Bmm, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32) + dCacc    # [T(t), N]
+        dB_ref[0, :, gi, :] = dB_g.astype(out_dtype)
+        dC_ref[0, :, gi, :] = dC_g.astype(out_dtype)
+        dx_ref[0, :, sl] = jnp.concatenate(dxs, axis=1)
+
+        Rv_scr[:, sl] = tote_rep(tote, gi, hg, P) * Rv_g + \
+            jax.lax.dot_general(
+                Cmm, jnp.concatenate(gss, axis=1), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+    W = jnp.concatenate(cw, axis=1)                # [T, H]
+    V0 = jnp.concatenate(cv0, axis=1)
+    m_intra = jnp.concatenate(cmi, axis=1)
+    ddirect = jnp.concatenate(cdir, axis=1)
+    xdx = jnp.concatenate(cxdx, axis=1)
+    scal = jnp.concatenate(csc, axis=1)            # [1, H]
+
+    sum_up = jax.lax.dot_general(                  # Σ_{t: mask[t,r]} v[t]
+        maskf.astype(mm), (into_e * W).astype(mm), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    sum_dn = jax.lax.dot_general(                  # Σ_{s: mask[r,s]} v[s]
+        maskf.astype(mm), (scale * V0).astype(mm), (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    Pterm = m_intra + sum_up + sum_dn + tote * scal
+    mass = Pterm - xdx
+    ddtp = ddirect + mass * A
+    ddt_ref[0] = (jax.nn.sigmoid(dt_raw + dtb) * ddtp).astype(f32)
+    dm_ref[0] = mass.astype(f32)
+
+
+def tote_rep(tote, gi, hg, P):
+    t = jax.lax.slice(tote, (0, gi * hg), (1, (gi + 1) * hg))
+    return jnp.broadcast_to(t.reshape(1, hg, 1), (1, hg, P)).reshape(1, hg * P)
+
+
+def _ssd_dir_bwd_kernel_call(x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g,
+                             chunk: int, reverse: bool):
+    """-> (dx, ddt_raw, dBm, dCm, dmass) via the backward Pallas kernel."""
+    R, L, HP = x.shape
+    H = dt.shape[-1]
+    P = HP // H
+    NG, N = Bm.shape[-2:]
+    T = min(chunk, L)
+    nc = L // T
+    mm = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    # Process chunks opposite to the forward order.
+    fidx = (lambda c: nc - 1 - c) if reverse else (lambda c: c)
+    bidx = lambda r, c: (r, fidx(nc - 1 - c))
+    kern = functools.partial(
+        _bwd_kernel, T=T, H=H, P=P, NG=NG, N=N, nc=nc, reverse=reverse,
+        mm=mm, out_dtype=jnp.float32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(R, nc),
+        in_specs=[
+            pl.BlockSpec((1, H), lambda r, c: (0, 0)),          # dt_bias
+            pl.BlockSpec((1, H), lambda r, c: (0, 0)),          # A
+            pl.BlockSpec((1, H), lambda r, c: (0, 0)),          # D
+            pl.BlockSpec((1, T, HP), lambda r, c: (*bidx(r, c), 0)),    # x
+            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # dt
+            pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
+            pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
+            pl.BlockSpec((1, T, HP), lambda r, c: (*bidx(r, c), 0)),    # g
+            pl.BlockSpec((1, 1, N, HP), lambda r, c: (*bidx(r, c), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, HP), lambda r, c: (*bidx(r, c), 0)),    # dx
+            pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
+            pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
+            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # ddt
+            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # dm
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, L, HP), jnp.float32),
+            jax.ShapeDtypeStruct((R, L, NG, N), jnp.float32),
+            jax.ShapeDtypeStruct((R, L, NG, N), jnp.float32),
+            jax.ShapeDtypeStruct((R, L, H), jnp.float32),
+            jax.ShapeDtypeStruct((R, L, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, HP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(dt_bias.reshape(1, H).astype(jnp.float32),
+      A.reshape(1, H).astype(jnp.float32),
+      Dskip.reshape(1, H).astype(jnp.float32), x, dt, Bm, Cm, g, fentry)
+    return outs
 
 
 def supported(x_shape, A_shape, B_shape, chunk: int) -> bool:

@@ -86,6 +86,10 @@ def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
         if replicated:
             return P()
         # Tensor parallel: shard the d_inner axis of mixer weights.
+        # mamba2 (SSD) names shard heads/d_inner the same way; its
+        # group-shared B/C projections (in_proj_B/C, conv_B/C_*) stay
+        # UNsharded over 'tensor' — every shard's heads consume the full
+        # B/C, and train.step._sync_grads psums their gradients.
         tp_axes = {
             "in_proj_x": 3,   # [L, Gio, d, di]
             "in_proj_z": 3,
@@ -95,6 +99,10 @@ def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
             "x_proj_B": 2, "x_proj_C": 2,
             "dt_proj_w": 3,   # [L, G, R, di]
             "dt_proj_b": 2, "A_log": 2, "D": 2,
+            "in_proj_dt": 3,  # [L, G, d, H]
+            "conv_x_w": 2, "conv_x_b": 2,        # [L, G, di, K] / [L, G, di]
+            "mixer_norm_weight": 2,              # [L, Gio, di]
+            "dt_bias": 2,                        # [L, G, H]
         }
         leaf = path.split("/")[-1]
         axes: list = [None] * len(shape)

@@ -61,20 +61,32 @@ def _gather_fsdp(params, specs):
     return jax.tree.map(g, params, specs, is_leaf=lambda x: isinstance(x, P))
 
 
-def _sync_grads(grads, specs, extra_axes=()):
+# mamba2 params replicated over 'tensor' but consumed by every tensor
+# shard's heads: their gradients are per-shard partials (models.caduceus
+# mamba2_mixer docstring) and must additionally psum over 'tensor'.
+_TENSOR_PARTIAL_LEAVES = ("in_proj_B", "in_proj_C", "conv_B_w", "conv_B_b",
+                          "conv_C_w", "conv_C_b")
+
+
+def _sync_grads(grads, specs, extra_axes=(), tp: bool = False):
     """Sum over batch (+ any sequence) axes; reduce-scatter back onto fsdp
     shards. ``extra_axes`` names mesh axes (e.g. 'seq') whose shards hold
     partial parameter gradients that must also be summed."""
     extra_axes = tuple(extra_axes)
 
-    def s(g, spec):
+    def s(path, g, spec):
+        leaf = str(getattr(path[-1], "key", path[-1]))
+        axes = BATCH_AXES + extra_axes
+        if tp and leaf in _TENSOR_PARTIAL_LEAVES:
+            axes = axes + ("tensor",)
         fsdp_axis = next((i for i, ax in enumerate(spec) if ax == "fsdp"), None)
         if fsdp_axis is None:
-            return jax.lax.psum(g, BATCH_AXES + extra_axes)
-        g = jax.lax.psum(g, ("data",) + extra_axes)
+            return jax.lax.psum(g, axes)
+        g = jax.lax.psum(g, tuple(a for a in axes if a != "fsdp"))
         return jax.lax.psum_scatter(g, "fsdp", scatter_dimension=fsdp_axis,
                                     tiled=True)
-    return jax.tree.map(s, grads, specs, is_leaf=lambda x: isinstance(x, P))
+    return jax.tree_util.tree_map_with_path(
+        s, grads, specs, is_leaf=lambda x: isinstance(x, P))
 
 
 def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
@@ -125,7 +137,7 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
             loss_fn, has_aux=True)(params_full)
         if not single:
             grads = _sync_grads(grads, param_specs,
-                                extra_axes=("seq",) if sp else ())
+                                extra_axes=("seq",) if sp else (), tp=tp)
         loss = psum(local_obj, loss_axes)
 
         # masked-token accuracy (metric parity: MaskedAccuracy ignore -100)

@@ -150,11 +150,18 @@ def _batch(rng, B, L):
             "loss_weights": jnp.ones((B, L), jnp.float32)}
 
 
-def test_grad_fn_matches_single_device_dp_fsdp(tiny2, rng):
+@pytest.mark.parametrize("shape", [dict(data=4, fsdp=2, tensor=1),
+                                   dict(data=2, fsdp=2, tensor=2)])
+def test_grad_fn_matches_single_device(tiny2, rng, shape):
     from plantcaduceus_tpu.parallel import mesh as meshlib
     from plantcaduceus_tpu.train import step as train_step_lib
 
-    cfg, params = tiny2
+    if shape["tensor"] > 1:
+        # TP requires n_groups == 1 (group-shared B/C replicated per shard).
+        cfg = CaduceusConfig(**dict(TINY2, n_groups=1))
+        params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    else:
+        cfg, params = tiny2
     batch = _batch(rng, 8, 32)
 
     def loss_fn(p):
@@ -164,7 +171,7 @@ def test_grad_fn_matches_single_device_dp_fsdp(tiny2, rng):
 
     want_loss, want_grads = jax.value_and_grad(loss_fn)(params)
 
-    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=4, fsdp=2, tensor=1))
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(**shape))
     pspecs = meshlib.param_pspec_tree(params, replicated=False)
     grad_fn = train_step_lib.make_grad_fn(cfg, mesh, pspecs,
                                           dtype=jnp.float32, remat=False)
