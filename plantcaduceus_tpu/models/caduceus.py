@@ -505,14 +505,18 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     head/d_inner-sharded; the group-shared B/C projections are REPLICATED
     (every shard's heads read the full B/C), so their weight gradients are
     per-shard partials that train.step._sync_grads psums over 'tensor'. The
-    gated RMS norm reduces over the full d_inner via a collective. Sequence
-    parallelism is not wired (the SSD chunk-state exchange over a seq axis
-    is a [H, N, P]-per-boundary ppermute — design analogue of
-    ops/seq_parallel.py).
+    gated RMS norm reduces over the full d_inner via a collective.
+
+    Sequence (context) parallelism: when ``sp_axis`` names a mesh axis over
+    which L is sharded, the three convs (x/B/C) exchange K-1-row halos with
+    the neighbouring shard (ppermute) and the recurrence runs the sharded
+    SSD (ops/ssd_seq_parallel.py: local pass + closed-form boundary-state
+    correction — cheaper than Mamba-1's two-pass re-scan because the SSD
+    decay is scalar per head). Requires no tensor axis.
     """
-    if sp_axis is not None:
+    if sp_axis is not None and tp_axis is not None:
         raise NotImplementedError(
-            "mamba2 mixer: sequence parallelism not wired yet")
+            "mamba2 mixer: tensor and sequence axes cannot combine")
     from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
     from plantcaduceus_tpu.ops.ssd import ssd_chunked
 
@@ -548,7 +552,9 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
         impl = "xla"
     A = -jnp.exp(p["A_log"])
 
-    if impl == "pallas" and fused_inference and tp_axis is None:
+    sp = sp_axis is not None
+
+    if impl == "pallas" and fused_inference and tp_axis is None and not sp:
         # Whole-interior fused kernel per direction (conv + SSD + gated
         # norm in VMEM — ops/pallas_mixer2.py): HBM traffic is the
         # projections' inputs/outputs only. Inference path — its VJP
@@ -570,23 +576,54 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
             for g in range(G)
         ]
     else:
+        def sp_conv(inp, w, b, anti):
+            # Context-parallel depthwise conv: K-1-row halo ppermuted from
+            # the neighbour (zero at sequence edges == the conv's own
+            # causal zero-padding). Same structure as mamba_mixer's.
+            K = w.shape[-1]
+            if anti:  # halo = next shard's first K-1 rows
+                halo = jax.lax.ppermute(
+                    inp[:, : K - 1], sp_axis,
+                    [(i, i - 1) for i in range(1, sp_shards)])
+                ext = jnp.concatenate([inp, halo], axis=1)
+                return depthwise_conv_xla(
+                    ext, w, b, activation="silu",
+                    anticausal=True)[:, : inp.shape[1]]
+            halo = jax.lax.ppermute(
+                inp[:, -(K - 1):], sp_axis,
+                [(i, i + 1) for i in range(sp_shards - 1)])
+            ext = jnp.concatenate([halo, inp], axis=1)
+            return depthwise_conv_xla(
+                ext, w, b, activation="silu")[:, K - 1:]
+
+        conv = sp_conv if sp else (
+            lambda inp, w, b, anti: depthwise_conv_xla(
+                inp, w, b, activation="silu", anticausal=anti))
         xs, Bs, Cs = [], [], []
         for g in range(G):
             anti = g == 1
             x_in = xi[0] if xi.shape[0] == 1 else xi[g]
-            xs.append(depthwise_conv_xla(
+            xs.append(conv(
                 x_in, p["conv_x_w"][g].astype(cdtype),
-                p["conv_x_b"][g].astype(cdtype), activation="silu",
-                anticausal=anti))
-            Bs.append(depthwise_conv_xla(
+                p["conv_x_b"][g].astype(cdtype), anti))
+            Bs.append(conv(
                 Braw[g], p["conv_B_w"][g].astype(cdtype),
-                p["conv_B_b"][g].astype(cdtype), activation="silu",
-                anticausal=anti))
-            Cs.append(depthwise_conv_xla(
+                p["conv_B_b"][g].astype(cdtype), anti))
+            Cs.append(conv(
                 Craw[g], p["conv_C_w"][g].astype(cdtype),
-                p["conv_C_b"][g].astype(cdtype), activation="silu",
-                anticausal=anti))
-        if impl == "pallas":
+                p["conv_C_b"][g].astype(cdtype), anti))
+        if sp:
+            from plantcaduceus_tpu.ops.ssd_seq_parallel import (
+                ssd_dir_seq_sharded)
+
+            y = [
+                ssd_dir_seq_sharded(
+                    xs[g], dt[g], A[g], Bs[g].reshape(B_, L_, NG, N),
+                    Cs[g].reshape(B_, L_, NG, N), p["D"][g], p["dt_bias"][g],
+                    cfg.chunk_size, g == 1, sp_axis, sp_shards, impl=impl)
+                for g in range(G)
+            ]
+        elif impl == "pallas":
             # Training path: Pallas SSD forward + the hand-written Pallas
             # adjoint (_bwd_kernel); convs/gate/norm stay XLA ops whose
             # autodiff is matmul/elementwise-shaped.

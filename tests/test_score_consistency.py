@@ -126,3 +126,27 @@ def test_scores_context_parallel_match(rng):
         got = zero_shot.nucleotide_probs(sp_runner, tok, seqs, token_idx=64,
                                          progress=False)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_scores_context_parallel_match_mamba2(rng):
+    """Same engine invariance for the SSD family: a (data=2, seq=4) mamba2
+    runner reproduces the single-device probabilities (x/B/C conv halos +
+    sharded SSD stitch/correction under the GSPMD-sliced extraction)."""
+    small = dict(d_model=32, n_layer=2, vocab_size=16, ssm_variant="mamba2",
+                 d_state=8, head_dim=16, chunk_size=32)
+    cfg = CaduceusConfig(**small)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    tok = DnaTokenizer()
+    seqs = ["".join(rng.choice(list("ACGT"), 128)) for _ in range(4)]
+
+    ref_runner = InferenceRunner(params, cfg, mesh=_mesh1(),
+                                 dtype=jnp.float32, batch_size=4)
+    want = zero_shot.nucleotide_probs(ref_runner, tok, seqs, token_idx=64,
+                                      progress=False)
+
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=2, seq=4))
+    sp_runner = InferenceRunner(params, cfg, mesh=mesh,
+                                dtype=jnp.float32, batch_size=4)
+    got = zero_shot.nucleotide_probs(sp_runner, tok, seqs, token_idx=64,
+                                     progress=False)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
