@@ -71,7 +71,10 @@ def train(args):
     vocab = args.levels if synthetic else 256
     seq_len = args.side * args.side if synthetic else args.seq_len
     cfg = mamba_lm.MambaLmConfig(d_model=args.d_model, n_layer=args.n_layer,
-                                 vocab_size=vocab, d_state=args.d_state)
+                                 vocab_size=vocab, d_state=args.d_state,
+                                 ssm_variant=args.ssm_variant,
+                                 head_dim=args.head_dim,
+                                 chunk_size=args.chunk_size)
     params = mamba_lm.init_params(jax.random.PRNGKey(args.seed), cfg)
     opt = optax.adamw(args.lr)
     opt_state = opt.init(params)
@@ -133,7 +136,11 @@ def sample(args):
     vocab = targs["levels"] if synthetic else 256
     cfg = mamba_lm.MambaLmConfig(d_model=targs["d_model"],
                                  n_layer=targs["n_layer"], vocab_size=vocab,
-                                 d_state=targs["d_state"])
+                                 d_state=targs["d_state"],
+                                 ssm_variant=targs.get("ssm_variant",
+                                                       "mamba1"),
+                                 head_dim=targs.get("head_dim", 64),
+                                 chunk_size=targs.get("chunk_size", 64))
     params = jax.tree.map(jnp.asarray, params)
     rng = np.random.default_rng(args.seed)
     if synthetic:
@@ -170,6 +177,14 @@ def main(argv=None):
     tr.add_argument("--d-model", type=int, default=128)
     tr.add_argument("--n-layer", type=int, default=4)
     tr.add_argument("--d-state", type=int, default=16)
+    tr.add_argument("--ssm-variant", choices=("mamba1", "mamba2"),
+                    default="mamba1",
+                    help="mamba2 = SSD (MXU chunked recurrence); pick "
+                         "--d-state/--head-dim to taste (e.g. 64/64)")
+    tr.add_argument("--head-dim", type=int, default=64,
+                    help="mamba2 head size (d_inner %% head_dim == 0)")
+    tr.add_argument("--chunk-size", type=int, default=64,
+                    help="mamba2 SSD chunk (seq_len %% chunk == 0)")
     tr.add_argument("--lr", type=float, default=3e-3)
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--log-every", type=int, default=20)

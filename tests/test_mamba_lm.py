@@ -92,3 +92,53 @@ def test_sampled_generation_shape(params, rng):
                              top_k=4, dtype=jnp.float32)
     assert toks.shape == (1, 6)
     assert ((np.asarray(toks) >= 0) & (np.asarray(toks) < 16)).all()
+
+
+# --------------------------- SSD (mamba2) variant ---------------------------
+
+CFG2 = mamba_lm.MambaLmConfig(d_model=32, n_layer=2, vocab_size=16,
+                              ssm_variant="mamba2", d_state=8, head_dim=16,
+                              chunk_size=8)
+
+
+@pytest.fixture(scope="module")
+def params2():
+    return mamba_lm.init_params(jax.random.PRNGKey(0), CFG2)
+
+
+def test_mamba2_forward_shapes(params2, rng):
+    ids = jnp.asarray(rng.integers(0, 16, size=(2, 24)), jnp.int32)
+    out = mamba_lm.forward(params2, ids, CFG2, dtype=jnp.float32)
+    assert out["logits"].shape == (2, 24, 16)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_mamba2_step_decode_matches_parallel_forward(params2, rng):
+    """The SSD O(1) recurrent step (scalar-per-head decay, [H, N, P] state)
+    reproduces the chunked-matmul parallel forward at every position."""
+    ids = jnp.asarray(rng.integers(0, 16, size=(3, 16)), jnp.int32)
+    ref = np.asarray(
+        mamba_lm.forward(params2, ids, CFG2, dtype=jnp.float32)["logits"])
+
+    cache = mamba_lm.init_cache(CFG2, 3)
+    got = []
+    for t in range(ids.shape[1]):
+        logits, cache = mamba_lm.step(params2, cache, ids[:, t], CFG2,
+                                      dtype=jnp.float32)
+        got.append(np.asarray(logits))
+    np.testing.assert_allclose(np.stack(got, axis=1), ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mamba2_generate_and_train_step(params2, rng):
+    prompt = jnp.asarray(rng.integers(0, 16, size=(2, 8)), jnp.int32)
+    a = mamba_lm.generate(params2, CFG2, prompt, 8, dtype=jnp.float32)
+    b = mamba_lm.generate(params2, CFG2, prompt, 8, dtype=jnp.float32)
+    assert a.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ids = jnp.asarray(rng.integers(0, 16, size=(2, 16)), jnp.int32)
+    loss, grads = jax.value_and_grad(
+        lambda p: mamba_lm.nll_loss(p, ids, CFG2, dtype=jnp.float32))(params2)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
