@@ -70,6 +70,12 @@ def train(args):
     synthetic = args.data == "synthetic"
     vocab = args.levels if synthetic else 256
     seq_len = args.side * args.side if synthetic else args.seq_len
+    if args.ssm_variant == "mamba2":
+        eff = min(args.chunk_size, seq_len)
+        if seq_len % eff:
+            raise SystemExit(
+                f"--seq-len {seq_len} is not divisible by the effective "
+                f"--chunk-size {eff} (mamba2 SSD chunking)")
     cfg = mamba_lm.MambaLmConfig(d_model=args.d_model, n_layer=args.n_layer,
                                  vocab_size=vocab, d_state=args.d_state,
                                  ssm_variant=args.ssm_variant,

@@ -547,7 +547,7 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     impl = cfg.scan_impl
     if impl in ("auto", "pallas"):
         impl = ("pallas" if jax.default_backend() == "tpu" and supported(
-            (G, B_, L_, H, Pd), None, (NG, N), cfg.chunk_size) else "xla")
+            (G, B_, L_, H, Pd), (NG, N), cfg.chunk_size) else "xla")
     else:
         impl = "xla"
     A = -jnp.exp(p["A_log"])
@@ -784,8 +784,12 @@ def forward(
     array (entry k = block k's residual-stream input, last entry = the
     post-norm final state == ``hidden_states``) — the intermediate-layer
     API of AutoModelForMaskedLM(output_hidden_states=True).
-    ``fused_inference`` selects the whole-mixer kernel (the inference engine
-    sets it; the kernel is also used under training). ``sp_axis``/``sp_shards``
+    ``fused_inference`` selects the whole-mixer-interior kernel (the
+    inference engine sets it). mamba1's fused kernel has a native Pallas
+    backward and serves training too; mamba2's fused kernel is
+    inference-only — under grad its VJP recomputes through XLA, so training
+    leaves the flag unset and takes the decomposed path with the
+    hand-written SSD adjoint. ``sp_axis``/``sp_shards``
     enable context parallelism: call inside shard_map with the L axis of
     ``input_ids`` sharded over that mesh axis; logits come back sharded the
     same way."""

@@ -231,7 +231,7 @@ def _mixer2(lp: Params, x: jax.Array, cfg: MambaLmConfig,
 
     impl = cfg.scan_impl
     if impl in ("auto", "pallas") and jax.default_backend() == "tpu" \
-            and supported((1, B_, L_, H, Pd), None, (NG, N), cfg.chunk_size):
+            and supported((1, B_, L_, H, Pd), (NG, N), cfg.chunk_size):
         from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir
 
         y = ssd_dir(xg, dt, A, Bc.reshape(B_, L_, NG, N),

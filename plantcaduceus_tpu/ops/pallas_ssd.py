@@ -243,7 +243,9 @@ def ssd_dir(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse):
     return _ssd_pallas_one(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse)
 
 
-def _ssd_dir_xla(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse):
+def ssd_dir_xla(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse):
+    """XLA (ops/ssd.py) evaluation of the :func:`ssd_dir` flat contract —
+    the off-TPU fallback and the reference the kernel is tested against."""
     from plantcaduceus_tpu.ops.ssd import ssd_chunked
 
     R, L, HP = x.shape
@@ -502,7 +504,7 @@ def _ssd_dir_bwd_kernel_call(x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g,
     return outs
 
 
-def supported(x_shape, A_shape, B_shape, chunk: int) -> bool:
+def supported(x_shape, B_shape, chunk: int) -> bool:
     """Whether the kernel handles these shapes (else use ops/ssd.py)."""
     G, B, L, H, P = x_shape
     NG, N = B_shape[-2:]

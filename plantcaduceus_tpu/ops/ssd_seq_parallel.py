@@ -86,17 +86,10 @@ def ssd_dir_seq_sharded(
     f32 = jnp.float32
 
     # Local pass from zero state (includes the D-skip).
-    if impl == "pallas":
-        from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir
+    from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir, ssd_dir_xla
 
-        y = ssd_dir(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse)
-    else:
-        from plantcaduceus_tpu.ops.ssd import ssd_chunked
-
-        y = ssd_chunked(
-            x.reshape(1, B, L, H, P), dt[None], A[None], Bm[None], Cm[None],
-            Dskip[None], dt_bias=dt_bias[None], chunk=chunk,
-            directions=(reverse,)).reshape(B, L, HP)
+    core = ssd_dir if impl == "pallas" else ssd_dir_xla
+    y = core(x, dt, A, Bm, Cm, Dskip, dt_bias, chunk, reverse)
 
     # Shard summary + boundary correction, head-grouped shapes [.., NG, hg].
     dtp = jax.nn.softplus(dt.astype(f32) + dt_bias.astype(f32))  # [B, L, H]

@@ -22,9 +22,9 @@ def make_inputs(rng, G=2, B=2, L=256, H=2, P=128, NG=1, N=128):
 
 
 def test_supported_gate():
-    assert supported((2, 1, 256, 2, 128), None, (1, 1, 1, 1, 128), 128)
-    assert not supported((2, 1, 256, 2, 64), None, (1, 1, 1, 1, 128), 128)
-    assert not supported((2, 1, 200, 2, 128), None, (1, 1, 1, 1, 128), 128)
+    assert supported((2, 1, 256, 2, 128), (1, 1, 1, 1, 128), 128)
+    assert not supported((2, 1, 256, 2, 64), (1, 1, 1, 1, 128), 128)
+    assert not supported((2, 1, 200, 2, 128), (1, 1, 1, 1, 128), 128)
 
 
 @pytest.mark.parametrize("directions", [(False, False), (False, True)])
