@@ -236,7 +236,10 @@ def make_train_step(
         out = caduceus.forward(params, batch["input_ids"], cfg, dtype=dtype,
                                tp_axis=tp_axis,
                                sp_axis="seq" if sp else None,
-                               sp_shards=sp_shards)
+                               sp_shards=sp_shards,
+                               # forward-only: the fused whole-mixer kernel
+                               # is safe (no residuals needed for a backward)
+                               fused_inference=jax.default_backend() == "tpu")
         nll, w = _loss_sums(out["logits"], batch["labels"],
                             batch.get("loss_weights"))
         loss = psum(nll) / jnp.maximum(psum(w), 1e-8)
