@@ -40,8 +40,9 @@ from plantcaduceus_tpu.utils.platform import maybe_force_platform
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--teacher", required=True,
-                   help="teacher model: preset name, HF checkpoint dir, or "
-                        "framework export dir")
+                   help="teacher model: HF checkpoint dir or framework "
+                        "export dir (a bare preset name is rejected unless "
+                        "--allow-random-teacher: it means random weights)")
     p.add_argument("--student-preset", default=None, choices=sorted(PRESETS))
     p.add_argument("--student-config", default=None,
                    help="CaduceusConfig json path (alternative to preset)")
@@ -68,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--allow-random-teacher", action="store_true",
+                   help="permit a preset (randomly initialised) teacher — "
+                        "for smoke tests only")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
     return p.parse_args(argv)
 
@@ -80,6 +84,16 @@ def main(argv=None):
     maybe_force_platform()
     meshlib.initialize_distributed()
 
+    # A preset teacher resolves to RANDOM weights (model_loading contract) —
+    # distilling from noise is never what the user wants; require an
+    # explicit opt-in (tests/smoke runs use it).
+    from pathlib import Path
+    if not Path(args.teacher).is_dir() and not args.allow_random_teacher:
+        raise SystemExit(
+            f"--teacher {args.teacher!r} is a preset name, which resolves to "
+            "randomly initialised weights — a distillation teacher must be a "
+            "checkpoint dir (HF or framework export). Pass "
+            "--allow-random-teacher to override (smoke tests only).")
     teacher_params, teacher_cfg, tokenizer = load_model_and_tokenizer(
         args.teacher, seed=args.seed)
     if args.student_config:

@@ -369,31 +369,16 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     conv_w = p["conv_w"].astype(cdtype)
     conv_b = p["conv_b"].astype(cdtype)
     if sp:
-        # Context-parallel conv: decomposed depthwise conv with a K-1-row
-        # halo exchanged with the neighbouring shard (ppermute). Fully
-        # differentiable — ppermute's transpose is the reverse ppermute.
-        from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+        # Context-parallel conv: K-1-row halo exchange with the
+        # neighbouring shard (ops/conv.halo_depthwise_conv_silu).
+        from plantcaduceus_tpu.ops.conv import halo_depthwise_conv_silu
 
-        K = conv_w.shape[-1]
-        xgs = []
-        for g in range(G):
-            if g == 1:  # halo = next shard's first K-1 rows (anticausal)
-                halo = jax.lax.ppermute(
-                    xi[0][:, : K - 1], sp_axis,
-                    [(i, i - 1) for i in range(1, sp_shards)])
-                ext = jnp.concatenate([xi[0], halo], axis=1)
-                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
-                                          activation="silu",
-                                          anticausal=True)[:, : xi.shape[2]]
-            else:       # halo = previous shard's last K-1 rows (causal)
-                halo = jax.lax.ppermute(
-                    xi[0][:, -(K - 1):], sp_axis,
-                    [(i, i + 1) for i in range(sp_shards - 1)])
-                ext = jnp.concatenate([halo, xi[0]], axis=1)
-                xg_g = depthwise_conv_xla(ext, conv_w[g], conv_b[g],
-                                          activation="silu")[:, K - 1:]
-            xgs.append(xg_g)
-        xg = jnp.stack(xgs)  # [2, B, Llocal, di], natural time order
+        xg = jnp.stack([
+            halo_depthwise_conv_silu(xi[0], conv_w[g], conv_b[g],
+                                     anticausal=(g == 1),
+                                     sp_axis=sp_axis, sp_shards=sp_shards)
+            for g in range(G)
+        ])  # [2, B, Llocal, di], natural time order
     elif fused:
         from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
 
@@ -577,24 +562,12 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
         ]
     else:
         def sp_conv(inp, w, b, anti):
-            # Context-parallel depthwise conv: K-1-row halo ppermuted from
-            # the neighbour (zero at sequence edges == the conv's own
-            # causal zero-padding). Same structure as mamba_mixer's.
-            K = w.shape[-1]
-            if anti:  # halo = next shard's first K-1 rows
-                halo = jax.lax.ppermute(
-                    inp[:, : K - 1], sp_axis,
-                    [(i, i - 1) for i in range(1, sp_shards)])
-                ext = jnp.concatenate([inp, halo], axis=1)
-                return depthwise_conv_xla(
-                    ext, w, b, activation="silu",
-                    anticausal=True)[:, : inp.shape[1]]
-            halo = jax.lax.ppermute(
-                inp[:, -(K - 1):], sp_axis,
-                [(i, i + 1) for i in range(sp_shards - 1)])
-            ext = jnp.concatenate([halo, inp], axis=1)
-            return depthwise_conv_xla(
-                ext, w, b, activation="silu")[:, K - 1:]
+            # Context-parallel conv shared with mamba_mixer.
+            from plantcaduceus_tpu.ops.conv import halo_depthwise_conv_silu
+
+            return halo_depthwise_conv_silu(inp, w, b, anticausal=anti,
+                                            sp_axis=sp_axis,
+                                            sp_shards=sp_shards)
 
         conv = sp_conv if sp else (
             lambda inp, w, b, anti: depthwise_conv_xla(

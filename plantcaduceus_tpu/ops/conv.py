@@ -86,3 +86,33 @@ def depthwise_conv_xla(
     if activation == "silu":
         y = jax.nn.silu(y)
     return y
+
+
+def halo_depthwise_conv_silu(
+    inp: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    anticausal: bool,
+    sp_axis: str,
+    sp_shards: int,
+) -> jax.Array:
+    """Context-parallel depthwise conv over a sequence-sharded ``inp:
+    [B, Llocal, D]``: the K-1 boundary rows are ppermuted from the
+    neighbouring shard (next shard for the anticausal direction, previous
+    for the causal one); sequence-edge shards receive zeros from the
+    ppermute, which equals the conv's own causal zero-padding. Fully
+    differentiable — ppermute's transpose is the reverse ppermute. Shared
+    by both SSM variants' mixers (models/caduceus.py)."""
+    K = w.shape[-1]
+    if anticausal:  # halo = next shard's first K-1 rows
+        halo = jax.lax.ppermute(
+            inp[:, : K - 1], sp_axis,
+            [(i, i - 1) for i in range(1, sp_shards)])
+        ext = jnp.concatenate([inp, halo], axis=1)
+        return depthwise_conv_xla(ext, w, b, activation="silu",
+                                  anticausal=True)[:, : inp.shape[1]]
+    halo = jax.lax.ppermute(
+        inp[:, -(K - 1):], sp_axis,
+        [(i, i + 1) for i in range(sp_shards - 1)])
+    ext = jnp.concatenate([halo, inp], axis=1)
+    return depthwise_conv_xla(ext, w, b, activation="silu")[:, K - 1:]

@@ -74,6 +74,54 @@ def batch_spec() -> P:
     return P(("data", "fsdp"))
 
 
+# mamba2 (SSD) leaves that stay replicated over 'tensor' although the
+# head-sharded mixer consumes them on every tensor shard: each shard's
+# gradient is a per-shard PARTIAL that train.step._sync_grads must
+# additionally psum over 'tensor'. Kept here, next to the tp_axes rules in
+# param_specs(), so the two views of "how does TP treat this leaf" cannot
+# drift apart; validate_tp_grad_coverage() enforces that every mixer leaf
+# is accounted for by exactly one of them.
+TENSOR_PARTIAL_LEAVES = ("in_proj_B", "in_proj_C", "conv_B_w", "conv_B_b",
+                         "conv_C_w", "conv_C_b")
+
+# Block-level leaves outside the tensor-sharded mixer interior (the residual
+# RMS norm): replicated over 'tensor' AND their gradients are already full
+# on every shard (the mixer-output psum's transpose broadcasts the
+# cotangent), so they need neither a 'tensor' spec axis nor a grad psum.
+_TP_FULL_GRAD_BLOCK_LEAVES = ("norm_weight",)
+
+
+def validate_tp_grad_coverage(pspec_tree) -> None:
+    """Assert every per-block parameter leaf is covered by the TP gradient
+    rules: either tensor-sharded (local grads), listed in
+    TENSOR_PARTIAL_LEAVES (replicated, partial grads -> tensor psum), or a
+    known full-grad residual-norm leaf. A new/renamed mixer leaf that is
+    none of these would otherwise train silently with wrong gradients under
+    tensor parallelism — fail loudly at step-build time instead."""
+    bad = []
+
+    def check(path, spec):
+        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        if "blocks" not in names:
+            return
+        leaf = names[-1]
+        if leaf in TENSOR_PARTIAL_LEAVES or leaf in _TP_FULL_GRAD_BLOCK_LEAVES:
+            return
+        if any(ax == "tensor" for ax in spec):
+            return
+        bad.append(leaf)
+
+    jax.tree_util.tree_map_with_path(check, pspec_tree,
+                                     is_leaf=lambda x: isinstance(x, P))
+    if bad:
+        raise ValueError(
+            "tensor-parallel gradient rules don't cover mixer leaves "
+            f"{sorted(set(bad))}: shard them over 'tensor' in "
+            "parallel.mesh.param_specs, or add them to "
+            "TENSOR_PARTIAL_LEAVES / _TP_FULL_GRAD_BLOCK_LEAVES with the "
+            "matching _sync_grads semantics")
+
+
 def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
     """Partition rules for the Caduceus parameter pytree.
 

@@ -35,14 +35,14 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from plantcaduceus_tpu.models import caduceus
 from plantcaduceus_tpu.models.config import CaduceusConfig
 from plantcaduceus_tpu.parallel import mesh as meshlib
 from plantcaduceus_tpu.train.step import (BATCH_AXES, TrainState,
                                           _gather_fsdp, _loss_sums,
-                                          _sync_grads)
+                                          _sync_grads, make_init_state)
 
 
 def make_distill_step(
@@ -145,18 +145,7 @@ def make_distill_step(
             check_vma=False,
         )(params_s, params_t, batch)
 
-    def init_state(params) -> TrainState:
-        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                                 is_leaf=lambda x: isinstance(x, P))
-        params = jax.jit(lambda t: t, out_shardings=shardings)(params)
-        opt_state = jax.jit(optimizer.init)(params)
-        rep = NamedSharding(mesh, P())
-        mesh_devs = set(mesh.devices.flat)
-        commit = lambda x: x if x.sharding.device_set == mesh_devs \
-            else jax.device_put(x, rep)
-        opt_state = jax.tree.map(commit, opt_state)
-        return TrainState(params, opt_state,
-                          jax.device_put(jnp.zeros((), jnp.int32), rep))
+    init_state = make_init_state(optimizer, mesh, pspecs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def distill_step(state: TrainState, teacher_params,

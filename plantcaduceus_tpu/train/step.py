@@ -63,9 +63,11 @@ def _gather_fsdp(params, specs):
 
 # mamba2 params replicated over 'tensor' but consumed by every tensor
 # shard's heads: their gradients are per-shard partials (models.caduceus
-# mamba2_mixer docstring) and must additionally psum over 'tensor'.
-_TENSOR_PARTIAL_LEAVES = ("in_proj_B", "in_proj_C", "conv_B_w", "conv_B_b",
-                          "conv_C_w", "conv_C_b")
+# mamba2_mixer docstring) and must additionally psum over 'tensor'. The
+# list lives next to the param_specs tp rules it mirrors;
+# meshlib.validate_tp_grad_coverage (called at step-build time under TP)
+# fails loudly if a mixer leaf is covered by neither.
+_TENSOR_PARTIAL_LEAVES = meshlib.TENSOR_PARTIAL_LEAVES
 
 
 def _sync_grads(grads, specs, extra_axes=(), tp: bool = False):
@@ -87,6 +89,37 @@ def _sync_grads(grads, specs, extra_axes=(), tp: bool = False):
                                     tiled=True)
     return jax.tree_util.tree_map_with_path(
         s, grads, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def make_init_state(optimizer: optax.GradientTransformation, mesh: Mesh,
+                    pspecs):
+    """Shared TrainState initialiser (train step + distillation)."""
+
+    def init_state(params) -> TrainState:
+        # Jitted identity copy (NOT device_put): the step donates the
+        # state, and device_put aliases the source buffer into the matching
+        # shard of the output even with may_alias=False — donating that
+        # output would delete the caller's params. jit without donation
+        # always materialises fresh output buffers.
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                                 is_leaf=lambda x: isinstance(x, P))
+        params = jax.jit(lambda t: t, out_shardings=shardings)(params)
+        opt_state = jax.jit(optimizer.init)(params)
+        # Commit the loose leaves (optimizer step counters and the like are
+        # constant-folded onto one device, uncommitted) onto the mesh: a
+        # fresh state tolerates them because uncommitted arrays auto-move,
+        # but a checkpoint-restored state is committed everywhere and the
+        # jitted step rejects mixed placements — the template must carry
+        # the real shardings so restore can re-establish them.
+        rep = NamedSharding(mesh, P())
+        mesh_devs = set(mesh.devices.flat)
+        commit = lambda x: x if x.sharding.device_set == mesh_devs \
+            else jax.device_put(x, rep)
+        opt_state = jax.tree.map(commit, opt_state)
+        return TrainState(params, opt_state,
+                          jax.device_put(jnp.zeros((), jnp.int32), rep))
+
+    return init_state
 
 
 def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
@@ -187,31 +220,10 @@ def make_train_step(
     pspecs = meshlib.param_pspec_tree(params_template,
                                       replicated=not (fsdp or
                                                       mesh.shape.get("tensor", 1) > 1))
+    if mesh.shape.get("tensor", 1) > 1:
+        meshlib.validate_tp_grad_coverage(pspecs)
     grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat)
-
-    def init_state(params) -> TrainState:
-        # Jitted identity copy (NOT device_put): train_step donates the
-        # state, and device_put aliases the source buffer into the matching
-        # shard of the output even with may_alias=False — donating that
-        # output would delete the caller's params. jit without donation
-        # always materialises fresh output buffers.
-        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
-                                 is_leaf=lambda x: isinstance(x, P))
-        params = jax.jit(lambda t: t, out_shardings=shardings)(params)
-        opt_state = jax.jit(optimizer.init)(params)
-        # Commit the loose leaves (optimizer step counters and the like are
-        # constant-folded onto one device, uncommitted) onto the mesh: a
-        # fresh state tolerates them because uncommitted arrays auto-move,
-        # but a checkpoint-restored state is committed everywhere and the
-        # jitted step rejects mixed placements — the template must carry
-        # the real shardings so restore can re-establish them.
-        rep = NamedSharding(mesh, P())
-        mesh_devs = set(mesh.devices.flat)
-        commit = lambda x: x if x.sharding.device_set == mesh_devs \
-            else jax.device_put(x, rep)
-        opt_state = jax.tree.map(commit, opt_state)
-        return TrainState(params, opt_state,
-                          jax.device_put(jnp.zeros((), jnp.int32), rep))
+    init_state = make_init_state(optimizer, mesh, pspecs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
