@@ -110,3 +110,36 @@ def test_mesh_step_matches_single_device(rng):
                 out_shardings=NamedSharding(mesh8, P()))(
             s8.params["blocks"]["out_proj"])))
     np.testing.assert_allclose(w1, w8, rtol=2e-4, atol=2e-5)
+
+
+def test_cli_rejects_preset_teacher(tmp_path):
+    """A bare preset teacher means random weights — the CLI must refuse it
+    unless --allow-random-teacher is passed."""
+    import pytest
+
+    from plantcaduceus_tpu.cli import distill as cli_distill
+
+    argv = ["--teacher", "l20", "--student-preset", "l20-ssd",
+            "--dataset", "synthetic", "--output-dir", str(tmp_path / "out")]
+    with pytest.raises(SystemExit, match="randomly initialised"):
+        cli_distill.main(argv)
+
+
+def test_tp_grad_coverage_guard():
+    """Every mixer leaf of both SSM variants is covered by the TP gradient
+    rules, and an uncovered (e.g. renamed) leaf fails loudly."""
+    import pytest
+
+    for cfg_kw in (T_CFG, S_CFG):
+        cfg = CaduceusConfig(**cfg_kw)
+        params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+        specs = meshlib.param_pspec_tree(params, replicated=False)
+        meshlib.validate_tp_grad_coverage(specs)  # must not raise
+
+        # Rename a tensor-partial leaf out of the rule set -> loud failure.
+        if cfg.ssm_variant == "mamba2":
+            blocks = dict(specs["blocks"])
+            blocks["in_proj_B_renamed"] = blocks.pop("in_proj_B")
+            with pytest.raises(ValueError, match="in_proj_B_renamed"):
+                meshlib.validate_tp_grad_coverage({**specs,
+                                                   "blocks": blocks})
