@@ -67,6 +67,9 @@ def parse_args(argv=None):
     p.add_argument("--seq", type=int, default=1,
                    help="sequence(context)-parallel mesh axis size")
     p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
+    p.add_argument("--pipe", type=int, default=1,
+                   help="pipeline-parallel mesh axis size (GPipe stages over "
+                        "the layer stack; n_layer must divide by it)")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace dir (traces steps 10-13)")
     p.add_argument("--wandb-project", default=None)
@@ -93,7 +96,8 @@ def main(argv=None):
     params = caduceus.init_params(jax.random.PRNGKey(args.seed), cfg)
     mesh = meshlib.make_mesh(meshlib.MeshConfig(fsdp=args.fsdp,
                                                 seq=args.seq,
-                                                tensor=args.tensor))
+                                                tensor=args.tensor,
+                                                pipe=args.pipe))
     logging.info("mesh: %s", dict(mesh.shape))
 
     optimizer = make_optimizer(

@@ -8,6 +8,8 @@ One mechanism replaces the reference's three torch DDP wrappers + NCCL
     seq    — optional sequence/context parallel over the L axis (halo
              ppermutes + the two-pass sharded scan; models/caduceus.py)
     tensor — optional tensor parallel over the d_inner axis of the mixer
+    pipe   — optional pipeline parallel over the n_layer axis (GPipe
+             microbatch schedule; parallel/pipeline.py)
 
 Collectives are inserted by GSPMD from sharding annotations; they ride ICI
 within a slice and DCN across slices automatically.
@@ -29,30 +31,34 @@ class MeshConfig:
     fsdp: int = 1
     seq: int = 1
     tensor: int = 1
+    pipe: int = 1
 
-    def resolve(self, n_devices: int) -> Tuple[int, int, int, int]:
-        fixed = self.fsdp * self.seq * self.tensor
+    def resolve(self, n_devices: int) -> Tuple[int, int, int, int, int]:
+        fixed = self.fsdp * self.seq * self.tensor * self.pipe
         data = self.data
         if data == -1:
             if n_devices % fixed != 0:
                 raise ValueError(
                     f"{n_devices} devices not divisible by "
-                    f"fsdp*seq*tensor={fixed}")
+                    f"fsdp*seq*tensor*pipe={fixed}")
             data = n_devices // fixed
         if data * fixed != n_devices:
             raise ValueError(
-                f"mesh {data}x{self.fsdp}x{self.seq}x{self.tensor} "
-                f"!= {n_devices} devices")
-        return data, self.fsdp, self.seq, self.tensor
+                f"mesh {data}x{self.fsdp}x{self.seq}x{self.tensor}"
+                f"x{self.pipe} != {n_devices} devices")
+        return data, self.fsdp, self.seq, self.tensor, self.pipe
 
 
 def make_mesh(config: Optional[MeshConfig] = None,
               devices=None) -> Mesh:
-    """Build the (data, fsdp, seq, tensor) mesh over all (or given) devices."""
+    """Build the (data, fsdp, seq, tensor, pipe) mesh over all (or given)
+    devices. ``pipe`` is innermost so pipeline stages sit on adjacent
+    devices (stage hand-offs are nearest-neighbour ppermutes over ICI)."""
     config = config or MeshConfig()
     devices = np.asarray(devices if devices is not None else jax.devices())
-    d, f, s, t = config.resolve(devices.size)
-    return Mesh(devices.reshape(d, f, s, t), ("data", "fsdp", "seq", "tensor"))
+    d, f, s, t, p = config.resolve(devices.size)
+    return Mesh(devices.reshape(d, f, s, t, p),
+                ("data", "fsdp", "seq", "tensor", "pipe"))
 
 
 def initialize_distributed() -> None:
@@ -122,15 +128,30 @@ def validate_tp_grad_coverage(pspec_tree) -> None:
             "matching _sync_grads semantics")
 
 
-def param_specs(replicated: bool = True) -> "jax.tree_util.PyTreeDef":
+def param_specs(replicated: bool = True,
+                pipeline: bool = False) -> "jax.tree_util.PyTreeDef":
     """Partition rules for the Caduceus parameter pytree.
 
     replicated=True (inference / small models): everything replicated.
     replicated=False: FSDP-shard the largest axis of each tensor over 'fsdp'
     and tensor-shard d_inner-bearing axes over 'tensor'.
+    pipeline=True: additionally shard every block leaf's leading n_layer
+    axis over 'pipe' (applies even when replicated — pipeline stages MUST
+    hold disjoint layer shards); embedding/norm_f/lm_head stay replicated
+    across stages and their gradients psum over 'pipe' in
+    train.step._sync_grads.
     """
 
     def rule(path: str, shape: Tuple[int, ...]) -> P:
+        if pipeline and "blocks" in path.split("/"):
+            axes: list = [None] * len(shape)
+            axes[0] = "pipe"
+            if not replicated:
+                free = [i for i, a in enumerate(axes)
+                        if a is None and shape[i] > 1]
+                if free:
+                    axes[max(free, key=lambda i: shape[i])] = "fsdp"
+            return P(*axes)
         if replicated:
             return P()
         # Tensor parallel: shard the d_inner axis of mixer weights.
@@ -170,9 +191,10 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_pspec_tree(params, replicated: bool = True):
+def param_pspec_tree(params, replicated: bool = True,
+                     pipeline: bool = False):
     """PartitionSpec pytree matching ``params`` (for shard_map in_specs)."""
-    rule = param_specs(replicated)
+    rule = param_specs(replicated, pipeline=pipeline)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: rule(_path_str(path), leaf.shape), params
     )

@@ -66,7 +66,8 @@ def make_distill_step(
     (replicated) argument, not baked into the jit, so one compiled step
     serves checkpoint sweeps.
     """
-    if mesh.shape.get("tensor", 1) > 1 or mesh.shape.get("seq", 1) > 1:
+    if (mesh.shape.get("tensor", 1) > 1 or mesh.shape.get("seq", 1) > 1
+            or mesh.shape.get("pipe", 1) > 1):
         raise ValueError("distillation supports data/fsdp meshes only")
     if teacher_cfg.vocab_size != student_cfg.vocab_size:
         raise ValueError(

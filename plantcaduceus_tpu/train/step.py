@@ -70,17 +70,29 @@ def _gather_fsdp(params, specs):
 _TENSOR_PARTIAL_LEAVES = meshlib.TENSOR_PARTIAL_LEAVES
 
 
-def _sync_grads(grads, specs, extra_axes=(), tp: bool = False):
+def _sync_grads(grads, specs, extra_axes=(), tp: bool = False,
+                pp: bool = False):
     """Sum over batch (+ any sequence) axes; reduce-scatter back onto fsdp
     shards. ``extra_axes`` names mesh axes (e.g. 'seq') whose shards hold
-    partial parameter gradients that must also be summed."""
+    partial parameter gradients that must also be summed. Under pipeline
+    parallelism (``pp``), stage-replicated leaves (embedding/norm_f/lm_head
+    — anything without 'pipe' in its spec) hold per-stage partial grads
+    (only stage 0 touches the embedding input, only the last stage the
+    head) and psum over 'pipe'; pipe-sharded block leaves are stage-local
+    and complete."""
     extra_axes = tuple(extra_axes)
+
+    def _has_axis(spec, name):
+        return any(ax == name or (isinstance(ax, (tuple, list)) and
+                                  name in ax) for ax in spec)
 
     def s(path, g, spec):
         leaf = str(getattr(path[-1], "key", path[-1]))
         axes = BATCH_AXES + extra_axes
         if tp and leaf in _TENSOR_PARTIAL_LEAVES:
             axes = axes + ("tensor",)
+        if pp and not _has_axis(spec, "pipe"):
+            axes = axes + ("pipe",)
         fsdp_axis = next((i for i, ax in enumerate(spec) if ax == "fsdp"), None)
         if fsdp_axis is None:
             return jax.lax.psum(g, axes)
@@ -132,12 +144,21 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
     sp_shards = mesh.shape.get("seq", 1)
     sp = sp_shards > 1
     sp_axis = "seq" if sp else None
+    pp_stages = mesh.shape.get("pipe", 1)
+    pp = pp_stages > 1
     if sp and tp:
         raise ValueError("sequence and tensor parallelism cannot be combined "
                          "(the context-parallel mixer needs unsharded d_inner)")
+    if pp and (sp or tp):
+        raise ValueError("pipeline parallelism combines with data/fsdp only "
+                         "(parallel/pipeline.py module docstring)")
     # Scalars (loss, metrics) and replicated-param grads are partial over the
     # sequence shards too: include 'seq' in their reduction axes.
     loss_axes = BATCH_AXES + (("seq",) if sp else ())
+    # Gated per-stage contributions (nll, accuracy numerator) additionally
+    # sum over 'pipe'; the normalisers (W, valid counts) are stage-replicated
+    # and must NOT.
+    gated_axes = loss_axes + (("pipe",) if pp else ())
     single = mesh.size == 1
 
     def psum(v, axes):
@@ -154,6 +175,19 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
         W = jnp.maximum(psum(jnp.sum(w_local), loss_axes), 1e-8)
 
         def loss_fn(params_full):
+            if pp:
+                from plantcaduceus_tpu.parallel.pipeline import (
+                    pipeline_forward)
+
+                logits, is_last = pipeline_forward(
+                    params_full, batch["input_ids"], cfg,
+                    n_stages=pp_stages, dtype=dtype, remat=remat)
+                nll, _ = _loss_sums(logits, batch["labels"],
+                                    batch.get("loss_weights"))
+                # Non-final stages carry zero logits: gate their nll out;
+                # the psum over 'pipe' (outside the grad) restores the total.
+                nll = jnp.where(is_last, nll, 0.0)
+                return nll / W, jnp.where(is_last, logits, 0.0)
             out = caduceus.forward(
                 params_full, batch["input_ids"], cfg, dtype=dtype,
                 tp_axis=tp_axis, remat=remat,
@@ -170,13 +204,22 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
             loss_fn, has_aux=True)(params_full)
         if not single:
             grads = _sync_grads(grads, param_specs,
-                                extra_axes=("seq",) if sp else (), tp=tp)
-        loss = psum(local_obj, loss_axes)
+                                extra_axes=("seq",) if sp else (), tp=tp,
+                                pp=pp)
+        loss = psum(local_obj, gated_axes)
 
-        # masked-token accuracy (metric parity: MaskedAccuracy ignore -100)
+        # masked-token accuracy (metric parity: MaskedAccuracy ignore -100).
+        # Under pp only the final stage's logits are real; its pred==label
+        # count is the whole numerator (gated_axes includes 'pipe'; zero
+        # logits on other stages argmax to token 0, but their count is
+        # excluded by dividing by the stage-replicated valid total — token 0
+        # is PAD/BOS-layout dependent, so gate explicitly instead).
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == batch["labels"]) & valid)
-        acc = psum(correct, loss_axes) / jnp.maximum(
+        if pp:
+            correct = jnp.where(
+                jax.lax.axis_index("pipe") == pp_stages - 1, correct, 0)
+        acc = psum(correct, gated_axes) / jnp.maximum(
             psum(jnp.sum(valid), loss_axes), 1)
         return loss, acc, grads
 
@@ -217,9 +260,18 @@ def make_train_step(
     """
     if fsdp is None:
         fsdp = mesh.shape.get("fsdp", 1) > 1
+    pp_stages_ = mesh.shape.get("pipe", 1)
+    if pp_stages_ > 1 and (mesh.shape.get("tensor", 1) > 1
+                           or mesh.shape.get("seq", 1) > 1):
+        raise ValueError("pipeline parallelism combines with data/fsdp only "
+                         "(parallel/pipeline.py module docstring)")
+    if pp_stages_ > 1 and cfg.n_layer % pp_stages_:
+        raise ValueError(f"n_layer={cfg.n_layer} must divide evenly over "
+                         f"pipe={pp_stages_} stages")
     pspecs = meshlib.param_pspec_tree(params_template,
                                       replicated=not (fsdp or
-                                                      mesh.shape.get("tensor", 1) > 1))
+                                                      mesh.shape.get("tensor", 1) > 1),
+                                      pipeline=pp_stages_ > 1)
     if mesh.shape.get("tensor", 1) > 1:
         meshlib.validate_tp_grad_coverage(pspecs)
     grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat)
@@ -239,26 +291,41 @@ def make_train_step(
     tp_axis = "tensor" if mesh.shape.get("tensor", 1) > 1 else None
     sp_shards = mesh.shape.get("seq", 1)
     sp = sp_shards > 1
+    pp_ev = mesh.shape.get("pipe", 1) > 1
     loss_axes = BATCH_AXES + (("seq",) if sp else ())
+    gated_axes = loss_axes + (("pipe",) if pp_ev else ())
 
     def local_eval(params, batch):
         # forward-only (no gradients)
-        psum = (lambda v: v) if single else \
-            (lambda v: jax.lax.psum(v, loss_axes))
-        out = caduceus.forward(params, batch["input_ids"], cfg, dtype=dtype,
-                               tp_axis=tp_axis,
-                               sp_axis="seq" if sp else None,
-                               sp_shards=sp_shards,
-                               # forward-only: the fused whole-mixer kernel
-                               # is safe (no residuals needed for a backward)
-                               fused_inference=jax.default_backend() == "tpu")
-        nll, w = _loss_sums(out["logits"], batch["labels"],
+        psum = (lambda v, a: v) if single else jax.lax.psum
+        fused = jax.default_backend() == "tpu"
+        if pp_ev:
+            from plantcaduceus_tpu.parallel.pipeline import pipeline_forward
+
+            logits, is_last = pipeline_forward(
+                params, batch["input_ids"], cfg, n_stages=pp_stages_,
+                dtype=dtype, remat=False, fused_inference=fused)
+            gate = lambda v: jnp.where(is_last, v, jnp.zeros_like(v))
+        else:
+            out = caduceus.forward(
+                params, batch["input_ids"], cfg, dtype=dtype,
+                tp_axis=tp_axis,
+                sp_axis="seq" if sp else None,
+                sp_shards=sp_shards,
+                # forward-only: the fused whole-mixer kernel is safe (no
+                # residuals needed for a backward)
+                fused_inference=fused)
+            logits = out["logits"]
+            gate = lambda v: v
+        nll, w = _loss_sums(logits, batch["labels"],
                             batch.get("loss_weights"))
-        loss = psum(nll) / jnp.maximum(psum(w), 1e-8)
+        loss = psum(gate(nll), gated_axes) / jnp.maximum(
+            psum(w, loss_axes), 1e-8)
         valid = batch["labels"] != -100
-        pred = jnp.argmax(out["logits"], axis=-1)
-        correct = jnp.sum((pred == batch["labels"]) & valid)
-        acc = psum(correct) / jnp.maximum(psum(jnp.sum(valid)), 1)
+        pred = jnp.argmax(logits, axis=-1)
+        correct = gate(jnp.sum((pred == batch["labels"]) & valid))
+        acc = psum(correct, gated_axes) / jnp.maximum(
+            psum(jnp.sum(valid), loss_axes), 1)
         return {"loss": loss, "accuracy": acc}
 
     @jax.jit
