@@ -70,6 +70,10 @@ def parse_args(argv=None):
     p.add_argument("--pipe", type=int, default=1,
                    help="pipeline-parallel mesh axis size (GPipe stages over "
                         "the layer stack; n_layer must divide by it)")
+    p.add_argument("--pipe-microbatches", type=int, default=None,
+                   help="GPipe microbatch count (default: --pipe; raise to "
+                        "shrink the pipeline bubble, efficiency "
+                        "M/(M+stages-1); must divide the folded batch rows)")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace dir (traces steps 10-13)")
     p.add_argument("--wandb-project", default=None)
@@ -120,7 +124,8 @@ def main(argv=None):
             logging.info("seq>1 off-TPU: pallas interpret mode, remat off")
             remat = False
     init_state, train_step, eval_step = step_lib.make_train_step(
-        cfg, optimizer, mesh, params, dtype=dtype, remat=remat)
+        cfg, optimizer, mesh, params, dtype=dtype, remat=remat,
+        pp_microbatches=args.pipe_microbatches)
     state = init_state(params)
 
     ckpt = ckpt_lib.CheckpointManager(args.output_dir,

@@ -135,7 +135,8 @@ def make_init_state(optimizer: optax.GradientTransformation, mesh: Mesh,
 
 
 def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
-                 dtype=jnp.bfloat16, remat: bool = True):
+                 dtype=jnp.bfloat16, remat: bool = True,
+                 pp_microbatches: Optional[int] = None):
     """shard_map'd (params, batch) -> (loss, accuracy, grads). On a
     single-device mesh the shard_map wrapper (and its no-op collectives) is
     bypassed entirely — measured ~1 s/step of overhead on the remote TPU."""
@@ -181,7 +182,8 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
 
                 logits, is_last = pipeline_forward(
                     params_full, batch["input_ids"], cfg,
-                    n_stages=pp_stages, dtype=dtype, remat=remat)
+                    n_stages=pp_stages, n_micro=pp_microbatches,
+                    dtype=dtype, remat=remat)
                 nll, _ = _loss_sums(logits, batch["labels"],
                                     batch.get("loss_weights"))
                 # Non-final stages carry zero logits: gate their nll out;
@@ -252,11 +254,15 @@ def make_train_step(
     dtype=jnp.bfloat16,
     remat: bool = True,
     fsdp: Optional[bool] = None,
+    pp_microbatches: Optional[int] = None,
 ):
     """Build (init_state, train_step, eval_step).
 
     ``fsdp=None`` auto-enables parameter sharding when the mesh has a
-    non-trivial fsdp axis.
+    non-trivial fsdp axis. ``pp_microbatches`` sets the GPipe microbatch
+    count under pipeline parallelism (default: the stage count; raising it
+    shrinks the bubble — efficiency is M/(M + stages - 1) — at the cost of
+    smaller per-stage matmuls).
     """
     if fsdp is None:
         fsdp = mesh.shape.get("fsdp", 1) > 1
@@ -274,7 +280,8 @@ def make_train_step(
                                       pipeline=pp_stages_ > 1)
     if mesh.shape.get("tensor", 1) > 1:
         meshlib.validate_tp_grad_coverage(pspecs)
-    grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat)
+    grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat,
+                           pp_microbatches=pp_microbatches)
     init_state = make_init_state(optimizer, mesh, pspecs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -304,7 +311,8 @@ def make_train_step(
 
             logits, is_last = pipeline_forward(
                 params, batch["input_ids"], cfg, n_stages=pp_stages_,
-                dtype=dtype, remat=False, fused_inference=fused)
+                n_micro=pp_microbatches, dtype=dtype, remat=False,
+                fused_inference=fused)
             gate = lambda v: jnp.where(is_last, v, jnp.zeros_like(v))
         else:
             out = caduceus.forward(

@@ -78,6 +78,24 @@ def test_pipeline_matches_single_device(variant):
             err_msg=str(path))
 
 
+def test_pipeline_more_microbatches_than_stages():
+    # Raising n_micro above the stage count (the bubble-shrinking setting)
+    # must not change the math.
+    cfg = _cfg()
+    batches = [_batch(seed=0)]
+    ref_params, ref_m, _ = _run_steps(
+        cfg, meshlib.MeshConfig(data=1), batches, n_steps=1)
+    pp_params, pp_m, _ = _run_steps(
+        cfg, meshlib.MeshConfig(data=1, pipe=2), batches, n_steps=1,
+        pp_microbatches=8)
+    assert np.isclose(ref_m["loss"], pp_m["loss"], rtol=2e-5)
+    flat_pp = dict(jax.tree_util.tree_leaves_with_path(pp_params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref_params):
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[path]), np.asarray(leaf), rtol=5e-4,
+            atol=5e-6, err_msg=str(path))
+
+
 def test_pipeline_composes_with_fsdp():
     cfg = _cfg()
     batches = [_batch(seed=0)]
