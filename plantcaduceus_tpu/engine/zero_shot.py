@@ -40,6 +40,28 @@ def mask_and_encode(sequences: Sequence[str], tokenizer: DnaTokenizer,
     return ids
 
 
+def _dedup(sequences: Sequence[str]):
+    """(unique_sequences, inverse) such that unique[inverse[i]] ==
+    sequences[i], preserving first-occurrence order.
+
+    Saturation mutagenesis (pipelines/mutagenesis.py, mirroring the
+    reference's 1_simulation.R) emits 3 records per position that all share
+    one window — the masked forward depends only on the window, so scoring
+    unique windows once is a ~3x end-to-end win on that pipeline and a
+    no-op (zero-copy passthrough) when all windows are distinct."""
+    index_of: dict = {}
+    inverse = np.empty(len(sequences), np.int64)
+    unique: List[str] = []
+    for i, s in enumerate(sequences):
+        j = index_of.setdefault(s, len(unique))
+        if j == len(unique):
+            unique.append(s)
+        inverse[i] = j
+    if len(unique) == len(sequences):
+        return sequences, None
+    return unique, inverse
+
+
 def _unstripe(gathered: np.ndarray, counts) -> np.ndarray:
     """Reassemble globally-ordered rows from per-host strided shards.
     gathered: [n_hosts, per_host_padded, ...]; counts[h] = real rows of host
@@ -65,25 +87,32 @@ def nucleotide_probs(runner: InferenceRunner, tokenizer: DnaTokenizer,
 
     vocab = tokenizer.get_vocab()
     nuc_ids = [vocab[n] for n in "acgt"]
+    sequences, inverse = _dedup(sequences)
+    if inverse is not None:
+        log.info("Scoring %d unique windows for %d records",
+                 len(sequences), len(inverse))
     n_proc = jax.process_count()
     if n_proc == 1:
         ids = mask_and_encode(sequences, tokenizer, token_idx)
-        return runner.masked_probs(ids, nuc_ids, token_idx, progress=progress)
+        probs = runner.masked_probs(ids, nuc_ids, token_idx,
+                                    progress=progress)
+    else:
+        from jax.experimental import multihost_utils
 
-    from jax.experimental import multihost_utils
-
-    k = jax.process_index()
-    mine = list(sequences[k::n_proc])
-    ids = mask_and_encode(mine, tokenizer, token_idx)
-    local = runner.masked_probs(ids, nuc_ids, token_idx, progress=progress)
-    per = -(-len(sequences) // n_proc)
-    if len(mine) < per:  # pad so all hosts contribute equal shapes
-        local = np.concatenate(
-            [local, np.zeros((per - len(mine),) + local.shape[1:],
-                             local.dtype)])
-    gathered = np.asarray(multihost_utils.process_allgather(local))
-    counts = [len(sequences[h::n_proc]) for h in range(n_proc)]
-    return _unstripe(gathered, counts)
+        k = jax.process_index()
+        mine = list(sequences[k::n_proc])
+        ids = mask_and_encode(mine, tokenizer, token_idx)
+        local = runner.masked_probs(ids, nuc_ids, token_idx,
+                                    progress=progress)
+        per = -(-len(sequences) // n_proc)
+        if len(mine) < per:  # pad so all hosts contribute equal shapes
+            local = np.concatenate(
+                [local, np.zeros((per - len(mine),) + local.shape[1:],
+                                 local.dtype)])
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        counts = [len(sequences[h::n_proc]) for h in range(n_proc)]
+        probs = _unstripe(gathered, counts)
+    return probs if inverse is None else probs[inverse]
 
 
 def log_ratio_scores(probs: np.ndarray, refs: Sequence[str],

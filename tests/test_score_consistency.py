@@ -150,3 +150,30 @@ def test_scores_context_parallel_match_mamba2(rng):
     got = zero_shot.nucleotide_probs(sp_runner, tok, seqs, token_idx=64,
                                      progress=False)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_duplicate_windows_scored_once(rng, monkeypatch):
+    """Saturation-mutagenesis shape: every window repeated 3x (one per alt).
+    The engine must forward each unique window once and scatter the probs
+    back into record order."""
+    cfg, params, tok, seqs = _setup(rng, n=8)
+    tripled = [s for s in seqs for _ in range(3)]
+    runner = InferenceRunner(params, cfg, mesh=_mesh1(),
+                             dtype=jnp.float32, batch_size=8)
+
+    want = zero_shot.nucleotide_probs(runner, tok, seqs, token_idx=64,
+                                      progress=False)
+
+    n_forwarded = []
+    real = InferenceRunner.masked_probs
+
+    def counting(self, ids, nucleotide_ids, position, progress=True):
+        n_forwarded.append(len(ids))
+        return real(self, ids, nucleotide_ids, position, progress=progress)
+
+    monkeypatch.setattr(InferenceRunner, "masked_probs", counting)
+    got = zero_shot.nucleotide_probs(runner, tok, tripled, token_idx=64,
+                                     progress=False)
+    assert n_forwarded == [len(seqs)]
+    assert got.shape == (len(tripled), 4)
+    np.testing.assert_array_equal(got, np.repeat(want, 3, axis=0))
