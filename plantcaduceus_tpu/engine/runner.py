@@ -131,7 +131,10 @@ class InferenceRunner:
         (traced into the compiled program — it sees a dict of fp32 arrays)
         reduces per-batch outputs; batches are dispatched ahead of the host
         readback so upload/compute/download pipeline."""
-        key = cache_key if cache_key is not None else id(extract)
+        # Fall back to the closure object itself (not id(extract): the cache
+        # must hold a strong reference, or a GC'd closure's id could be
+        # reused by a different extract and serve the wrong compiled fwd).
+        key = cache_key if cache_key is not None else extract
         fwd = self._fwd_cache.get(key)
         if fwd is None:
             fwd = self._build_fwd(extract, want_hidden)

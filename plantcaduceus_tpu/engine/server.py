@@ -111,6 +111,13 @@ class MicroBatcher:
     def submit(self, kind: str, **payload):
         """Blocking: returns the numpy result for this request's items."""
         assert kind in self._KINDS, kind
+        # Validate before enqueueing: a malformed item must fail its own
+        # request (handler 400), never reach the shared worker thread.
+        seqs = payload.get("sequences")
+        if not seqs:
+            raise ValueError("sequences must be a non-empty list")
+        if not all(isinstance(s, str) and s for s in seqs):
+            raise ValueError("every sequence must be a non-empty string")
         item = {"kind": kind, "payload": payload,
                 "event": threading.Event(), "result": None, "error": None}
         self._q.put(item)
@@ -153,15 +160,27 @@ class MicroBatcher:
             for it in items:
                 by_kind.setdefault(it["kind"], []).append(it)
             for kind, group in by_kind.items():
-                self._run_group(kind, group)
+                try:
+                    self._run_group(kind, group)
+                except Exception as e:  # keep the worker thread alive
+                    log.exception("batch group failed")
+                    for it in group:
+                        if not it["event"].is_set():
+                            it["error"] = e
+                            it["event"].set()
 
     def _run_group(self, kind: str, group: List[dict]):
         # Items in a group must agree on pos to share one forward; split
         # into sub-groups keyed by the effective mask position.
         by_pos: dict = {}
         for it in group:
-            p = it["payload"].get("pos")
-            eff = self.service._pos(p, len(it["payload"]["sequences"][0]))
+            try:
+                eff = self.service._pos(it["payload"].get("pos"),
+                                        len(it["payload"]["sequences"][0]))
+            except Exception as e:  # bad item: fail it, not the batch
+                it["error"] = e
+                it["event"].set()
+                continue
             by_pos.setdefault(eff, []).append(it)
         for pos, sub in by_pos.items():
             seqs: List[str] = []

@@ -8,8 +8,9 @@ columns; VCF+FASTA with reference window semantics), three output modes
 ``INFO plantCAD_zero_shot``).
 
 Multi-host: records are striped across processes
-(parallel.mesh.process_shard) and scores all-gathered host-side before the
-single writer process emits output.
+(``sequences[process_index::process_count]`` in :func:`nucleotide_probs`)
+and scores all-gathered host-side before the single writer process emits
+output.
 """
 
 from __future__ import annotations
@@ -91,6 +92,8 @@ def nucleotide_probs(runner: InferenceRunner, tokenizer: DnaTokenizer,
     if inverse is not None:
         log.info("Scoring %d unique windows for %d records",
                  len(sequences), len(inverse))
+    if len(sequences) == 0:
+        return np.zeros((0, 4), np.float32)
     n_proc = jax.process_count()
     if n_proc == 1:
         ids = mask_and_encode(sequences, tokenizer, token_idx)
@@ -101,9 +104,12 @@ def nucleotide_probs(runner: InferenceRunner, tokenizer: DnaTokenizer,
 
         k = jax.process_index()
         mine = list(sequences[k::n_proc])
-        ids = mask_and_encode(mine, tokenizer, token_idx)
-        local = runner.masked_probs(ids, nuc_ids, token_idx,
-                                    progress=progress)
+        if mine:
+            ids = mask_and_encode(mine, tokenizer, token_idx)
+            local = runner.masked_probs(ids, nuc_ids, token_idx,
+                                        progress=progress)
+        else:  # fewer records than hosts: still join the all-gather
+            local = np.zeros((0, 4), np.float32)
         per = -(-len(sequences) // n_proc)
         if len(mine) < per:  # pad so all hosts contribute equal shapes
             local = np.concatenate(

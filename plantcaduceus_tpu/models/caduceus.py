@@ -655,6 +655,45 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     return projs[0] * projs[1]  # ew_multiply
 
 
+def embed_residual(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
+                   dtype=jnp.bfloat16, sp_axis: Optional[str] = None,
+                   sp_shards: int = 1) -> jax.Array:
+    """Token embedding → initial residual stream ``[S*B, L, d]`` (S=2 when
+    rcps: rows B: are the RC stream), in fp32 when cfg.residual_in_fp32.
+    Shared by the plain backbone scan and the pipeline-parallel schedule so
+    the stream/dtype framing cannot drift between them."""
+    ids = input_ids
+    if cfg.rcps:
+        ids = jnp.concatenate(
+            [input_ids, rc_ids(input_ids, cfg, sp_axis, sp_shards)], axis=0)
+    hidden = params["embedding"].astype(dtype)[ids]  # [SB, L, d]
+    return hidden.astype(jnp.float32 if cfg.residual_in_fp32 else dtype)
+
+
+def make_block_fn(cfg: CaduceusConfig, dtype=jnp.bfloat16, *,
+                  tp_axis: Optional[str] = None, fused_inference: bool = False,
+                  sp_axis: Optional[str] = None, sp_shards: int = 1,
+                  collect_layers: bool = False, remat: bool = False):
+    """One residual block as a ``lax.scan`` body over stacked layer params:
+    res_{k+1} = res_k + mixer(norm(res_k)). The single definition used by
+    every forward path (backbone scan, pipeline stages).
+
+    ``remat=True`` rematerialises the block in the backward pass: activation
+    memory drops from O(n_layer * L * d) to O(L * d) at ~33% extra FLOPs —
+    the standard TPU HBM trade (jax.checkpoint composes with lax.scan)."""
+    mixer_fn = mamba2_mixer if cfg.ssm_variant == "mamba2" else mamba_mixer
+
+    def block_fn(res, lp):
+        normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
+        out = mixer_fn(lp, normed, cfg, tp_axis=tp_axis,
+                       fused_inference=fused_inference,
+                       sp_axis=sp_axis, sp_shards=sp_shards)
+        y = res.astype(dtype) if collect_layers else None
+        return res + out.astype(res.dtype), y
+
+    return jax.checkpoint(block_fn) if remat else block_fn
+
+
 def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
              dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
              remat: bool = False, fused_inference: bool = False,
@@ -671,32 +710,12 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
     ``output_hidden_states`` tuple's entries 0..n_layer-1; the final
     post-norm output is the tuple's last entry).
     """
-    ids = input_ids
-    if cfg.rcps:
-        ids = jnp.concatenate(
-            [input_ids, rc_ids(input_ids, cfg, sp_axis, sp_shards)], axis=0)
-    emb = params["embedding"].astype(dtype)
-    hidden = emb[ids]  # [SB, L, d]
-
-    # Mamba residual-stream recurrence: res_1 = emb;
-    # h_k = mixer(norm(res_k)); res_{k+1} = res_k + h_k. Final: norm_f(res_{n+1}).
-    residual = hidden.astype(jnp.float32 if cfg.residual_in_fp32 else dtype)
-
-    mixer_fn = mamba2_mixer if cfg.ssm_variant == "mamba2" else mamba_mixer
-
-    def block_fn(res, lp):
-        normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
-        out = mixer_fn(lp, normed, cfg, tp_axis=tp_axis,
-                       fused_inference=fused_inference,
-                       sp_axis=sp_axis, sp_shards=sp_shards)
-        y = res.astype(dtype) if collect_layers else None
-        return res + out.astype(res.dtype), y
-
-    if remat:
-        # Rematerialise each block in the backward pass: activation memory
-        # drops from O(n_layer * L * d) to O(L * d) at ~33% extra FLOPs —
-        # the standard TPU HBM trade (jax.checkpoint composes with lax.scan).
-        block_fn = jax.checkpoint(block_fn)
+    residual = embed_residual(params, input_ids, cfg, dtype,
+                              sp_axis=sp_axis, sp_shards=sp_shards)
+    block_fn = make_block_fn(cfg, dtype, tp_axis=tp_axis,
+                             fused_inference=fused_inference,
+                             sp_axis=sp_axis, sp_shards=sp_shards,
+                             collect_layers=collect_layers, remat=remat)
     residual, per_layer = jax.lax.scan(block_fn, residual, params["blocks"])
     final = _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
     return (final, per_layer) if collect_layers else final

@@ -218,25 +218,32 @@ def shard_batch(batch, mesh: Mesh):
     """Place host arrays onto the mesh, sharded along the batch axis (and,
     when the mesh has a non-trivial seq axis, the known [B, L] token arrays
     — the keys the train step's context-parallel in_specs shard — along the
-    length axis too)."""
+    length axis too).
+
+    Each host passes its own PROCESS-LOCAL batch (the data layer stripes
+    records by (process_index, process_count)); the global batch is their
+    concatenation, dim0 = local_batch * process_count. Multi-process
+    placement must therefore go through
+    ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+    would interpret every host's local rows as the same global array and
+    silently drop all but 1/n of the prepared data."""
     sp = mesh.shape.get("seq", 1) > 1
     b = NamedSharding(mesh, batch_spec())
     bl = NamedSharding(mesh, P(("data", "fsdp"), "seq")) if sp else b
+    n_proc = jax.process_count()
 
     def place(key, a):
         seq_shard = sp and key in _SEQ_SHARDED_KEYS and a.ndim == 2
-        return jax.device_put(a, bl if seq_shard else b)
+        sharding = bl if seq_shard else b
+        if n_proc == 1:
+            return jax.device_put(a, sharding)
+        # dim0 is per-host; every other dim is already global (the full
+        # window length lives on every host even when `seq` shards it).
+        global_shape = (a.shape[0] * n_proc,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, a,
+                                                      global_shape)
 
     if isinstance(batch, dict):
         return {k: jax.tree.map(lambda a, k=k: place(k, a), v)
                 for k, v in batch.items()}
     return jax.tree.map(lambda a: place(None, a), batch)
-
-
-def process_shard(n_items: int) -> slice:
-    """This host's stride-contiguous shard of a global item range — the
-    multi-host input partitioner (replaces MosaicML streaming's
-    num_canonical_nodes partitioning for our record-level workloads)."""
-    k, n = jax.process_index(), jax.process_count()
-    per = -(-n_items // n)
-    return slice(k * per, min((k + 1) * per, n_items))

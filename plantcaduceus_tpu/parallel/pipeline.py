@@ -111,12 +111,7 @@ def pipeline_forward(
     psum over ``axis``.
     """
     n_micro = n_micro or n_stages
-    ids = input_ids
-    if cfg.rcps:
-        ids = jnp.concatenate([input_ids, caduceus.rc_ids(input_ids, cfg)],
-                              axis=0)
-    hidden = params["embedding"].astype(dtype)[ids]
-    residual = hidden.astype(jnp.float32 if cfg.residual_in_fp32 else dtype)
+    residual = caduceus.embed_residual(params, input_ids, cfg, dtype)
     SB, L, d = residual.shape
     if SB % n_micro:
         raise ValueError(
@@ -124,17 +119,9 @@ def pipeline_forward(
             f"divisible by n_micro={n_micro}")
     emb_mb = residual.reshape(n_micro, SB // n_micro, L, d)
 
-    mixer_fn = (caduceus.mamba2_mixer if cfg.ssm_variant == "mamba2"
-                else caduceus.mamba_mixer)
-
-    def block_fn(res, lp):
-        normed = caduceus._norm(res.astype(dtype), lp["norm_weight"], cfg)
-        out = mixer_fn(lp, normed, cfg, fused_inference=fused_inference)
-        return res + out.astype(res.dtype), None
-
-    if remat:
-        block_fn = jax.checkpoint(block_fn)
-
+    block_fn = caduceus.make_block_fn(cfg, dtype,
+                                      fused_inference=fused_inference,
+                                      remat=remat)
     outs = pipeline_stages(params["blocks"], emb_mb, block_fn,
                            n_stages, n_micro, axis)
     h_res = outs.reshape(SB, L, d)

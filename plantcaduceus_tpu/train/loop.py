@@ -107,7 +107,8 @@ def run_training(
                               step=step + 1)
 
         if eval_every and eval_batches is not None and (step + 1) % eval_every == 0:
-            ev = evaluate(state, eval_step, eval_batches(), eval_max_batches)
+            ev = evaluate(state, eval_step, eval_batches(), eval_max_batches,
+                          place=place)
             if host0:
                 log.info("eval @ %d: loss=%.4f ppl=%.2f acc=%.4f", step + 1,
                          ev["loss"], ev["perplexity"], ev["accuracy"])
@@ -127,12 +128,18 @@ def run_training(
 
 
 def evaluate(state: TrainState, eval_step: Callable,
-             batches: Iterable[dict], max_batches: Optional[int] = None) -> dict:
+             batches: Iterable[dict], max_batches: Optional[int] = None,
+             place: Optional[Callable] = None) -> dict:
+    """``place`` must match the train loop's batch placement (mesh-aware
+    shard_batch when training over a mesh) so the jitted eval_step sees
+    identically-placed inputs."""
+    if place is None:
+        place = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
     losses, accs = [], []
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = place(batch)
         m = eval_step(state, batch)
         losses.append(float(m["loss"]))
         accs.append(float(m["accuracy"]))

@@ -51,8 +51,12 @@ def _decay_mask(params):
 
     def rule(path, leaf):
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
-        skip = any(s in name for s in
-                   ("norm", "bias", "dt_proj_b", "A_log", "conv_b", "/D"))
+        # "_b" suffix = bias by this codebase's naming convention (conv_b,
+        # dt_proj_b, conv_x_b/conv_B_b/conv_C_b, ...); the ndim guard alone
+        # can't catch them because stacked [n_layer, group, ...] axes make
+        # every leaf matrix-like.
+        skip = (any(s in name for s in ("norm", "bias", "A_log", "/D"))
+                or name.endswith("_b"))
         return (not skip) and leaf.ndim >= 2
 
     return jax.tree_util.tree_map_with_path(rule, params)

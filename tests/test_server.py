@@ -130,3 +130,27 @@ def test_bad_request_isolated(server, rng):
     assert client.healthz()["status"] == "ok"
     out = client.score(seqs, [seqs[0][L // 2 - 1]], ["A"])
     assert np.isfinite(out).all()
+
+
+def test_empty_sequences_rejected_without_killing_worker(server, rng):
+    """POST with an empty sequences list must 400 — and must not crash the
+    single MicroBatcher worker thread (which would hang every later
+    request forever)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    url = f"http://127.0.0.1:{server.port}/masked_probs"
+    for bad in ({"sequences": []}, {"sequences": [""]}, {}):
+        req = urllib.request.Request(
+            url, data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
+    # the worker is still alive: a well-formed request completes
+    client = ScoringClient(f"http://127.0.0.1:{server.port}")
+    seqs = _seqs(rng, 2)
+    out = client.masked_probs(seqs)
+    assert np.asarray(out).shape == (2, 4)

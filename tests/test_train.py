@@ -245,3 +245,26 @@ def test_lora_training_descends_mamba2(rng):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
     assert infer_fn(state, params, batch).shape == (8, 2)
+
+
+def test_decay_mask_skips_all_biases_both_variants():
+    """Weight decay must skip every bias leaf (incl. the mamba2 conv biases
+    conv_x_b/conv_B_b/conv_C_b whose stacked [n_layer, group, ...] axes
+    defeat the ndim guard), norms, A_log, D, and dt bias."""
+    from plantcaduceus_tpu.train.optimizer import _decay_mask
+
+    for extra in ({}, {"ssm_variant": "mamba2", "head_dim": 16,
+                       "chunk_size": 32}):
+        cfg = CaduceusConfig(d_model=32, n_layer=2, vocab_size=16,
+                             d_state=8, **extra)
+        params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+        mask = _decay_mask(params)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        decayed = {
+            "/".join(str(getattr(k, "key", k)) for k in path): m
+            for path, m in flat}
+        for name, m in decayed.items():
+            leaf = name.rsplit("/", 1)[-1]
+            is_bias_like = (leaf.endswith("_b") or "bias" in leaf
+                            or "norm" in name or leaf in ("A_log", "D"))
+            assert m != is_bias_like, (name, m)
