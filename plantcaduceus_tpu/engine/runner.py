@@ -50,6 +50,13 @@ class InferenceRunner:
 
         pspecs = meshlib.param_pspec_tree(params, replicated=True)
         self._fwd_cache = {}
+        # Closure-keyed fallback entries live in a small LRU so callers that
+        # pass a fresh ``extract`` per call (no cache_key) can't grow the
+        # cache — and pin compiled executables — without bound.
+        from collections import OrderedDict
+
+        self._fwd_lru: "OrderedDict" = OrderedDict()
+        self._fwd_lru_max = 8
 
         def build_fwd(extract, want_hidden):
             """Compile forward + extraction as ONE program. The extraction
@@ -134,11 +141,24 @@ class InferenceRunner:
         # Fall back to the closure object itself (not id(extract): the cache
         # must hold a strong reference, or a GC'd closure's id could be
         # reused by a different extract and serve the wrong compiled fwd).
-        key = cache_key if cache_key is not None else extract
-        fwd = self._fwd_cache.get(key)
-        if fwd is None:
-            fwd = self._build_fwd(extract, want_hidden)
-            self._fwd_cache[key] = fwd
+        # Keyed entries persist for the runner's lifetime; closure-keyed
+        # fallbacks go through a bounded LRU (see __init__) so repeated
+        # callers with fresh closures don't pin executables forever —
+        # such callers should pass ``cache_key`` to reuse compilations.
+        if cache_key is not None:
+            fwd = self._fwd_cache.get(cache_key)
+            if fwd is None:
+                fwd = self._build_fwd(extract, want_hidden)
+                self._fwd_cache[cache_key] = fwd
+        else:
+            fwd = self._fwd_lru.get(extract)
+            if fwd is None:
+                fwd = self._build_fwd(extract, want_hidden)
+                self._fwd_lru[extract] = fwd
+                while len(self._fwd_lru) > self._fwd_lru_max:
+                    self._fwd_lru.popitem(last=False)
+            else:
+                self._fwd_lru.move_to_end(extract)
 
         if self._sp and jax.default_backend() != "tpu":
             # The seq-sharded scan is Pallas-based regardless of

@@ -114,10 +114,13 @@ class MicroBatcher:
         # Validate before enqueueing: a malformed item must fail its own
         # request (handler 400), never reach the shared worker thread.
         seqs = payload.get("sequences")
-        if not seqs:
+        if not isinstance(seqs, (list, tuple)) or not seqs:
             raise ValueError("sequences must be a non-empty list")
         if not all(isinstance(s, str) and s for s in seqs):
             raise ValueError("every sequence must be a non-empty string")
+        if len({len(s) for s in seqs}) != 1:
+            raise ValueError("all sequences in one request must share a "
+                             "window length")
         item = {"kind": kind, "payload": payload,
                 "event": threading.Event(), "result": None, "error": None}
         self._q.put(item)
@@ -170,19 +173,20 @@ class MicroBatcher:
                             it["event"].set()
 
     def _run_group(self, kind: str, group: List[dict]):
-        # Items in a group must agree on pos to share one forward; split
-        # into sub-groups keyed by the effective mask position.
+        # Items in a group must agree on pos AND window length to share one
+        # forward (a ragged encode would raise and fail every co-batched
+        # request); sub-groups are keyed by (effective pos, length).
         by_pos: dict = {}
         for it in group:
             try:
-                eff = self.service._pos(it["payload"].get("pos"),
-                                        len(it["payload"]["sequences"][0]))
+                length = len(it["payload"]["sequences"][0])
+                eff = self.service._pos(it["payload"].get("pos"), length)
             except Exception as e:  # bad item: fail it, not the batch
                 it["error"] = e
                 it["event"].set()
                 continue
-            by_pos.setdefault(eff, []).append(it)
-        for pos, sub in by_pos.items():
+            by_pos.setdefault((eff, length), []).append(it)
+        for (pos, _length), sub in by_pos.items():
             seqs: List[str] = []
             for it in sub:
                 seqs.extend(it["payload"]["sequences"])

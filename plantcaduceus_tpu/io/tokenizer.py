@@ -32,6 +32,13 @@ COMPLEMENT = {"a": "t", "t": "a", "c": "g", "g": "c",
               "A": "T", "T": "A", "C": "G", "G": "C"}
 
 
+def _folds_case(vocab: Dict[str, int]) -> bool:
+    """True when every alphabetic single-char token is lowercase — the
+    released-tokenizer layout whose artifact case-folds its input."""
+    single = [t for t in vocab if len(t) == 1 and t.isalpha()]
+    return bool(single) and all(t.islower() for t in single)
+
+
 class DnaTokenizer:
     """Char-per-base tokenizer with numpy batch encoding."""
 
@@ -55,14 +62,22 @@ class DnaTokenizer:
         self.pad_token_id = self.vocab["[PAD]"]
         self.unk_token_id = self.vocab["[UNK]"]
 
-        # Fast char -> id table (256 entries), case-folded if lowercase.
+        # Fast char -> id table (256 entries). Exact-case vocab entries always
+        # win; case-folded variants are only added (when ``lowercase``) for
+        # case variants the vocab does not itself define, so a deliberately
+        # mixed-case vocab is never corrupted by folding.
         table = np.full(256, self.unk_token_id, np.int32)
+        exact = set()
         for tok, idx in self.vocab.items():
             if len(tok) == 1:
                 table[ord(tok)] = idx
-                if lowercase:
-                    table[ord(tok.upper())] = idx
-                    table[ord(tok.lower())] = idx
+                exact.add(ord(tok))
+        if lowercase:
+            for tok, idx in self.vocab.items():
+                if len(tok) == 1:
+                    for var in (tok.upper(), tok.lower()):
+                        if ord(var) not in exact:
+                            table[ord(var)] = idx
         self._table = table
 
     # -- core API ----------------------------------------------------------
@@ -121,10 +136,22 @@ class DnaTokenizer:
             vocab = dict(data["model"]["vocab"])
             for added in data.get("added_tokens", []):
                 vocab.setdefault(added["content"], added["id"])
-            lowercase = "Lowercase" in json.dumps(data.get("normalizer") or {})
-            return cls(vocab=vocab, lowercase=lowercase or True)
+            # Case-fold when the tokenizer declares a Lowercase normalizer, or
+            # when the alphabetic vocab is all-lowercase (the released
+            # PlantCaduceus layout: lowercase acgt vocab fed upper-cased
+            # windows — src/zero_shot_score.py:109,196 — so folding is what
+            # the released artifact does). An uppercase or mixed-case vocab is
+            # case-sensitive, matching the reference CharacterTokenizer
+            # (hg38_char_tokenizer.py: unknown case -> [UNK]).
+            lowercase = ("Lowercase" in json.dumps(data.get("normalizer") or {})
+                         or _folds_case(vocab))
+            return cls(vocab=vocab, lowercase=lowercase)
         if tc.exists():
             data = json.loads(tc.read_text())
+            if "vocab" in data:  # our own save() format — exact round-trip
+                return cls(vocab=data["vocab"],
+                           model_max_length=data.get("model_max_length"),
+                           lowercase=data.get("lowercase", True))
             chars = [t.get("content", t) if isinstance(t, dict) else t
                      for t in data.get("char_ords", data.get("characters", []))]
             if chars and isinstance(chars[0], int):
@@ -132,7 +159,8 @@ class DnaTokenizer:
             if not chars:
                 chars = list(DEFAULT_CHARACTERS)
             return cls(characters=chars,
-                       model_max_length=data.get("model_max_length"))
+                       model_max_length=data.get("model_max_length"),
+                       lowercase=_folds_case({c: i for i, c in enumerate(chars)}))
         raise FileNotFoundError(f"no tokenizer files found under {p}")
 
     def save(self, path) -> None:

@@ -289,10 +289,63 @@ def _tp_boundary_bwd(axis, _, g):
 _tp_boundary.defvjp(_tp_boundary_fwd, _tp_boundary_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Activation-path LoRA (PEFT semantics)
+# ---------------------------------------------------------------------------
+#
+# peft's LoraLayer computes y = W x + (alpha/r) * B A dropout(x): dropout is
+# applied to the adapted projection's INPUT activations, independently per
+# (batch, position, feature) — reference src/lora_fine_tune.py:609-616. The
+# mixers below accept an optional ``lora`` dict
+#     {"adapters": {name: {"a": [G?, in, r], "b": [G?, r, out]}},
+#      "scale": alpha/r, "dropout": p, "rng": key-or-None}
+# (per-layer slices; train.lora threads the stacked tree through the layer
+# scan) and add the delta at each adapted projection site. With dropout off
+# this is exactly equal to materialising W + scale*a@b (linearity), which is
+# what merge_lora/inference do.
+
+_LORA_SITE_IDS = {name: i for i, name in enumerate((
+    "in_proj_x", "in_proj_z", "out_proj",
+    "x_proj_dt", "x_proj_B", "x_proj_C",
+    "in_proj_B", "in_proj_C", "in_proj_dt",
+))}
+
+
+def _lora_delta(lora, name: str, x: jax.Array, spec_a: str, spec_b: str,
+                g: Optional[int] = None):
+    """scale * einsum_b(einsum_a(dropout(x), a), b) for an adapted site, or
+    None when the site has no adapter. ``g`` indexes the direction axis of
+    the adapter (sites applied per direction, e.g. untied out_proj)."""
+    if lora is None:
+        return None
+    ab = lora["adapters"].get(name)
+    if ab is None:
+        return None
+    rng, p_drop = lora.get("rng"), lora.get("dropout", 0.0)
+    if rng is not None and p_drop > 0:
+        # independent draw per site AND per direction (each direction is a
+        # separate adapted module in the torch/peft layout)
+        k = jax.random.fold_in(rng, _LORA_SITE_IDS[name] * 4 + (g or 0))
+        keep = jax.random.bernoulli(k, 1.0 - p_drop, x.shape)
+        x = x * keep.astype(x.dtype) / (1.0 - p_drop)
+    a, b = ab["a"], ab["b"]
+    if g is not None:
+        a, b = a[min(g, a.shape[0] - 1)], b[min(g, b.shape[0] - 1)]
+    mid = jnp.einsum(spec_a, x, a.astype(x.dtype))
+    return lora["scale"] * jnp.einsum(spec_b, mid, b.astype(x.dtype))
+
+
+def _add_lora(base: jax.Array, lora, name: str, x: jax.Array, spec_a: str,
+              spec_b: str, g: Optional[int] = None) -> jax.Array:
+    d = _lora_delta(lora, name, x, spec_a, spec_b, g)
+    return base if d is None else base + d.astype(base.dtype)
+
+
 def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                 tp_axis: Optional[str] = None,
                 fused_inference: bool = False,
-                sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
+                sp_axis: Optional[str] = None, sp_shards: int = 1,
+                lora=None) -> jax.Array:
     """One (Bi)Mamba mixer over ``x: [B, L, d]`` (B may include folded
     streams). ``p`` holds a single layer's parameters (no n_layer axis).
 
@@ -311,6 +364,10 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     G = cfg.n_directions
     N, R = cfg.d_state, cfg.dt_rank
     cdtype = x.dtype
+    if lora is not None and (tp_axis is not None or sp_axis is not None):
+        raise NotImplementedError(
+            "activation-path LoRA does not compose with tensor/sequence "
+            "axes; merge adapters (train.lora.merge_lora) instead")
     if tp_axis is not None:
         x = _tp_boundary(x, tp_axis)
 
@@ -335,8 +392,10 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     fused = impl == "pallas" and G == 2
 
     # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
-    xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
-    z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
+    xi = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype)),
+                   lora, "in_proj_x", x, "bld,gdr->gblr", "gblr,gri->gbli")
+    z = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype)),
+                  lora, "in_proj_z", x, "bld,gdr->gblr", "gblr,gri->gbli")
 
     sp = sp_axis is not None
     if sp and not (G == 2 and tp_axis is None and xi.shape[0] == 1
@@ -349,7 +408,10 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 
     if (not sp and fused and tp_axis is None and xi.shape[0] == 1
             and cfg.bidirectional_strategy == "add"
-            and not _USE_GATED_KERNEL):
+            and not _USE_GATED_KERNEL and lora is None):
+        # (lora is None: the whole-interior kernel hides the x_proj sites
+        # activation-path adapters must hook; LoRA training takes the
+        # decomposed path below.)
         # Whole-mixer-interior kernel (conv + x_proj + dt + scan fused):
         # one pallas_call per direction, VMEM-resident intermediates. Fully
         # differentiable — under grad the forward emits residuals and the
@@ -402,11 +464,17 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 
     # x_proj -> dt low-rank, B, C (contractions over d_inner: psum under TP).
     dt_lr = _maybe_psum_sharded_consumer(
-        jnp.einsum("gbli,gir->gblr", xg, p["x_proj_dt"].astype(cdtype)), tp_axis)
+        _add_lora(jnp.einsum("gbli,gir->gblr", xg, p["x_proj_dt"].astype(cdtype)),
+                  lora, "x_proj_dt", xg, "gbli,gix->gblx", "gblx,gxr->gblr"),
+        tp_axis)
     Bm = _maybe_psum_sharded_consumer(
-        jnp.einsum("gbli,gin->gbln", xg, p["x_proj_B"].astype(cdtype)), tp_axis)
+        _add_lora(jnp.einsum("gbli,gin->gbln", xg, p["x_proj_B"].astype(cdtype)),
+                  lora, "x_proj_B", xg, "gbli,gix->gblx", "gblx,gxn->gbln"),
+        tp_axis)
     Cm = _maybe_psum_sharded_consumer(
-        jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype)), tp_axis)
+        _add_lora(jnp.einsum("gbli,gin->gbln", xg, p["x_proj_C"].astype(cdtype)),
+                  lora, "x_proj_C", xg, "gbli,gix->gblx", "gblx,gxn->gbln"),
+        tp_axis)
 
     if sp:
         from plantcaduceus_tpu.ops.seq_parallel import (
@@ -433,8 +501,10 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                 p["dt_proj_b"], p["dt_proj_w"].astype(jnp.float32),
                 z[0],  # raw gate; silu applied in-kernel
             )
-            return _maybe_psum(y_gated @ p["out_proj"][0].astype(cdtype),
-                               tp_axis)
+            return _maybe_psum(
+                _add_lora(y_gated @ p["out_proj"][0].astype(cdtype),
+                          lora, "out_proj", y_gated,
+                          "bli,ir->blr", "blr,ro->blo", g=0), tp_axis)
         from plantcaduceus_tpu.ops.pallas_scan import selective_scan_pallas
 
         y = selective_scan_pallas(
@@ -456,7 +526,10 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     if G == 2 and xi.shape[0] == 1 and cfg.bidirectional_strategy == "add":
         # Tied+add fast path: share the gate, single out_proj.
         y_sum = (y[0] + align(y[1], 1)) * gate[0]
-        return _maybe_psum(y_sum @ p["out_proj"][0].astype(cdtype), tp_axis)
+        return _maybe_psum(
+            _add_lora(y_sum @ p["out_proj"][0].astype(cdtype),
+                      lora, "out_proj", y_sum,
+                      "bli,ir->blr", "blr,ro->blo", g=0), tp_axis)
 
     # General path: per-direction gate + out_proj, then combine.
     outs = []
@@ -465,7 +538,9 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
         zg = gate[min(g, gate.shape[0] - 1)]
         og = yg * zg
         W = p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype)
-        outs.append(_maybe_psum(og @ W, tp_axis))
+        outs.append(_maybe_psum(
+            _add_lora(og @ W, lora, "out_proj", og,
+                      "bli,ir->blr", "blr,ro->blo", g=g), tp_axis))
     if G == 1:
         return outs[0]
     if cfg.bidirectional_strategy == "add":
@@ -476,7 +551,8 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                  tp_axis: Optional[str] = None,
                  fused_inference: bool = False,
-                 sp_axis: Optional[str] = None, sp_shards: int = 1) -> jax.Array:
+                 sp_axis: Optional[str] = None, sp_shards: int = 1,
+                 lora=None) -> jax.Array:
     """One (Bi)Mamba-2 (SSD) mixer over ``x: [B, L, d]``.
 
     Same stream/direction folding as :func:`mamba_mixer`; the recurrence is
@@ -502,6 +578,10 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     if sp_axis is not None and tp_axis is not None:
         raise NotImplementedError(
             "mamba2 mixer: tensor and sequence axes cannot combine")
+    if lora is not None and (tp_axis is not None or sp_axis is not None):
+        raise NotImplementedError(
+            "activation-path LoRA does not compose with tensor/sequence "
+            "axes; merge adapters (train.lora.merge_lora) instead")
     from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
     from plantcaduceus_tpu.ops.ssd import ssd_chunked
 
@@ -520,11 +600,16 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                 "B/C would need group-aligned head sharding)")
         x = _tp_boundary(x, tp_axis)
 
-    xi = jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype))
-    z = jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype))
-    Braw = jnp.einsum("bld,gdn->gbln", x, p["in_proj_B"].astype(cdtype))
-    Craw = jnp.einsum("bld,gdn->gbln", x, p["in_proj_C"].astype(cdtype))
-    dt = jnp.einsum("bld,gdh->gblh", x, p["in_proj_dt"].astype(cdtype))
+    xi = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype)),
+                   lora, "in_proj_x", x, "bld,gdr->gblr", "gblr,gri->gbli")
+    z = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype)),
+                  lora, "in_proj_z", x, "bld,gdr->gblr", "gblr,gri->gbli")
+    Braw = _add_lora(jnp.einsum("bld,gdn->gbln", x, p["in_proj_B"].astype(cdtype)),
+                     lora, "in_proj_B", x, "bld,gdr->gblr", "gblr,grn->gbln")
+    Craw = _add_lora(jnp.einsum("bld,gdn->gbln", x, p["in_proj_C"].astype(cdtype)),
+                     lora, "in_proj_C", x, "bld,gdr->gblr", "gblr,grn->gbln")
+    dt = _add_lora(jnp.einsum("bld,gdh->gblh", x, p["in_proj_dt"].astype(cdtype)),
+                   lora, "in_proj_dt", x, "bld,gdr->gblr", "gblr,grh->gblh")
     B_, L_ = x.shape[0], x.shape[1]
 
     from plantcaduceus_tpu.ops.pallas_ssd import supported
@@ -640,11 +725,17 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     if G == 2 and p["out_proj"].shape[0] == 1 \
             and cfg.bidirectional_strategy == "add":
         # Tied+add fast path: sum the normed streams, one out_proj matmul.
+        o_sum = outs[0] + outs[1]
         return _maybe_psum(
-            (outs[0] + outs[1]) @ p["out_proj"][0].astype(cdtype), tp_axis)
+            _add_lora(o_sum @ p["out_proj"][0].astype(cdtype),
+                      lora, "out_proj", o_sum,
+                      "bli,ir->blr", "blr,ro->blo", g=0), tp_axis)
     projs = [
         _maybe_psum(
-            o @ p["out_proj"][min(g, p["out_proj"].shape[0] - 1)].astype(cdtype),
+            _add_lora(
+                o @ p["out_proj"][min(g, p["out_proj"].shape[0] - 1)]
+                .astype(cdtype),
+                lora, "out_proj", o, "bli,ir->blr", "blr,ro->blo", g=g),
             tp_axis)
         for g, o in enumerate(outs)
     ]
@@ -698,7 +789,7 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
              dtype=jnp.bfloat16, tp_axis: Optional[str] = None,
              remat: bool = False, fused_inference: bool = False,
              sp_axis: Optional[str] = None, sp_shards: int = 1,
-             collect_layers: bool = False):
+             collect_layers: bool = False, lora=None):
     """Run embedding + n_layer blocks + final norm.
 
     Returns the *working-frame* hidden states ``[S*B, L, d]`` where S=2 when
@@ -712,11 +803,34 @@ def backbone(params: Params, input_ids: jax.Array, cfg: CaduceusConfig,
     """
     residual = embed_residual(params, input_ids, cfg, dtype,
                               sp_axis=sp_axis, sp_shards=sp_shards)
-    block_fn = make_block_fn(cfg, dtype, tp_axis=tp_axis,
-                             fused_inference=fused_inference,
-                             sp_axis=sp_axis, sp_shards=sp_shards,
-                             collect_layers=collect_layers, remat=remat)
-    residual, per_layer = jax.lax.scan(block_fn, residual, params["blocks"])
+    if lora is None:
+        block_fn = make_block_fn(cfg, dtype, tp_axis=tp_axis,
+                                 fused_inference=fused_inference,
+                                 sp_axis=sp_axis, sp_shards=sp_shards,
+                                 collect_layers=collect_layers, remat=remat)
+        residual, per_layer = jax.lax.scan(block_fn, residual,
+                                           params["blocks"])
+    else:
+        # Activation-path LoRA: per-layer adapter slices (and per-layer
+        # dropout keys) ride the same layer scan as the base weights.
+        mixer_fn = mamba2_mixer if cfg.ssm_variant == "mamba2" else mamba_mixer
+        rngs = (jax.random.split(lora["rng"], cfg.n_layer)
+                if lora.get("rng") is not None else None)
+        meta = {"scale": lora["scale"], "dropout": lora.get("dropout", 0.0)}
+
+        def block_fn(res, xs):
+            lp, la, lrng = xs
+            ctx = dict(meta, adapters=la, rng=lrng)
+            normed = _norm(res.astype(dtype), lp["norm_weight"], cfg)
+            out = mixer_fn(lp, normed, cfg, tp_axis=tp_axis,
+                           sp_axis=sp_axis, sp_shards=sp_shards, lora=ctx)
+            y = res.astype(dtype) if collect_layers else None
+            return res + out.astype(res.dtype), y
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        residual, per_layer = jax.lax.scan(
+            block_fn, residual, (params["blocks"], lora["adapters"], rngs))
     final = _norm(residual.astype(dtype), params["norm_f_weight"], cfg)
     return (final, per_layer) if collect_layers else final
 

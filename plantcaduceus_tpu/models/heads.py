@@ -53,10 +53,12 @@ def init_head(rng: jax.Array, cfg: CaduceusConfig, num_labels: int,
 def sequence_logits(params: Dict, head: Dict, input_ids: jax.Array,
                     cfg: CaduceusConfig, dtype=jnp.bfloat16,
                     tp_axis: Optional[str] = None,
-                    remat: bool = False) -> jax.Array:
-    """[B, num_labels] classification logits (or regression values)."""
+                    remat: bool = False, lora=None) -> jax.Array:
+    """[B, num_labels] classification logits (or regression values).
+    ``lora`` (see models.caduceus backbone) applies adapters on the
+    activation path with PEFT dropout semantics."""
     h_work = caduceus.backbone(params, input_ids, cfg, dtype=dtype,
-                               tp_axis=tp_axis, remat=remat)
+                               tp_axis=tp_axis, remat=remat, lora=lora)
     hidden = caduceus.readout_hidden(h_work, cfg)
     feats = pool(rc_average(hidden, cfg), cfg).astype(jnp.float32)
     return feats @ head["w"].astype(jnp.float32) + head["b"].astype(jnp.float32)

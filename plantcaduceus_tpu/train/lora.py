@@ -58,32 +58,38 @@ def init_lora(rng: jax.Array, params, cfg_l: LoraConfig,
     return adapters
 
 
-def apply_lora(params, adapters, cfg_l: LoraConfig,
-               dropout_rng: Optional[jax.Array] = None):
+def apply_lora(params, adapters, cfg_l: LoraConfig):
     """Materialise effective weights: W + (alpha/r) * a @ b.
 
-    Train-time LoRA dropout (reference lora_dropout=0.1) drops rows of the
-    input-side projection: implemented as dropout on ``a``'s input axis.
+    Dropout-free application (inference/eval/export) — exactly equal to the
+    activation-path formulation by linearity. Training with dropout > 0 must
+    use :func:`lora_ctx` instead: PEFT applies dropout to the adapted
+    projection's input activations per (batch, position, feature)
+    (reference src/lora_fine_tune.py:609-616), which cannot be expressed as
+    a weight perturbation.
     """
     scale = cfg_l.alpha / cfg_l.r
     blocks = dict(params["blocks"])
     for name, ab in adapters.items():
-        a, b = ab["a"], ab["b"]
-        if dropout_rng is not None and cfg_l.dropout > 0:
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 1 - cfg_l.dropout,
-                                        a.shape[:-1] + (1,))
-            a = a * keep / (1 - cfg_l.dropout)
-        delta = jnp.einsum("...ir,...ro->...io", a, b) * scale
+        delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"]) * scale
         blocks[name] = blocks[name] + delta.astype(blocks[name].dtype)
     out = dict(params)
     out["blocks"] = blocks
     return out
 
 
+def lora_ctx(adapters, cfg_l: LoraConfig,
+             dropout_rng: Optional[jax.Array] = None) -> dict:
+    """Build the activation-path LoRA context consumed by
+    models.caduceus.backbone (PEFT semantics: y = Wx + scale*B A dropout(x),
+    dropout i.i.d. per batch/position/feature at each adapted site)."""
+    return {"adapters": adapters, "scale": cfg_l.alpha / cfg_l.r,
+            "dropout": cfg_l.dropout, "rng": dropout_rng}
+
+
 def merge_lora(params, adapters, cfg_l: LoraConfig):
     """Fold adapters into the base weights (inference export)."""
-    return apply_lora(params, adapters, cfg_l, dropout_rng=None)
+    return apply_lora(params, adapters, cfg_l)
 
 
 class LoraTrainState(NamedTuple):
@@ -112,9 +118,12 @@ def make_lora_train_step(
 
     def local_loss(trainable, base, batch, rng):
         adapters, head = trainable
-        eff = apply_lora(base, adapters, cfg_l, dropout_rng=rng)
-        logits = heads.sequence_logits(eff, head, batch["input_ids"], cfg,
-                                       dtype=dtype, remat=remat)
+        # Activation-path application: matches PEFT's per-position input
+        # dropout. (With dropout == 0 this equals merged weights exactly.)
+        ctx = lora_ctx(adapters, cfg_l,
+                       dropout_rng=rng if cfg_l.dropout > 0 else None)
+        logits = heads.sequence_logits(base, head, batch["input_ids"], cfg,
+                                       dtype=dtype, remat=remat, lora=ctx)
         local = heads.task_loss(logits, batch["labels"], task_type)
         n_local = batch["labels"].shape[0]
         # globally-averaged loss: weight the local mean by local/global rows

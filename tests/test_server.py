@@ -154,3 +154,54 @@ def test_empty_sequences_rejected_without_killing_worker(server, rng):
     seqs = _seqs(rng, 2)
     out = client.masked_probs(seqs)
     assert np.asarray(out).shape == (2, 4)
+
+
+def test_string_and_ragged_sequences_rejected(server, rng):
+    """'sequences' given as a JSON string (iterable of 1-char strs!) or as a
+    ragged list must 400 at submit time, not be silently scored."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    url = f"http://127.0.0.1:{server.port}/masked_probs"
+    for bad in ({"sequences": "ACGT"},
+                {"sequences": ["ACGT" * 8, "ACGT" * 4]}):
+        req = urllib.request.Request(
+            url, data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
+
+def test_mixed_window_lengths_cobatch_isolated(service, rng):
+    """Requests with the same effective pos but different window lengths must
+    land in separate sub-groups — both succeed instead of one ragged
+    encode failing the whole group."""
+    batcher = MicroBatcher(service, max_batch=64, max_wait_ms=50.0)
+    try:
+        short = ["".join(rng.choice(list("ACGT"), 64)) for _ in range(2)]
+        long = _seqs(rng, 2)
+        results: dict = {}
+
+        def one(name, seqs, pos):
+            try:
+                results[name] = batcher.submit("masked_probs",
+                                               sequences=seqs, pos=pos)
+            except Exception as e:  # pragma: no cover - fail the assert below
+                results[name] = e
+
+        threads = [threading.Thread(target=one, args=("short", short, 10)),
+                   threading.Thread(target=one, args=("long", long, 10))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        batcher.shutdown()
+
+    for name, seqs in (("short", short), ("long", long)):
+        assert not isinstance(results[name], Exception), results[name]
+        np.testing.assert_allclose(np.asarray(results[name]),
+                                   service.masked_probs(seqs, pos=10),
+                                   rtol=1e-5, atol=1e-6)
