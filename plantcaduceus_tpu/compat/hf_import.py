@@ -88,24 +88,37 @@ def load_hf_config(model_dir) -> CaduceusConfig:
     )
 
 
+class AmbiguousKeyError(KeyError):
+    """More than one state-dict key matches a lookup pattern. Silently
+    picking one (the old shortest-match fallback) is exactly how a real
+    checkpoint scores garbage without erroring — so ambiguity is fatal."""
+
+
 class _Resolver:
     """Fuzzy state-dict key lookup: matches a dotted pattern allowing extra
-    wrapper segments (submodule/module/model) anywhere in the path."""
+    wrapper segments (submodule/module/model) anywhere in the path.
+
+    Every successful lookup marks its key *consumed*; strict import uses the
+    ledger to prove the whole checkpoint was mapped (no stray tensors)."""
 
     def __init__(self, sd: Dict[str, np.ndarray]):
         self.sd = sd
         self._keys = list(sd.keys())
+        self.consumed: Dict[str, int] = {}
 
     def find(self, *fragments: str) -> Optional[str]:
-        """Return the unique key containing all fragments in order."""
+        """Return the unique key containing all fragments in order.
+        Raises AmbiguousKeyError when several keys match — the caller can
+        never know which tensor it would be loading."""
         pat = ".*".join(re.escape(f) for f in fragments)
         rx = re.compile(rf"(^|\.){pat}$")
         hits = [k for k in self._keys if rx.search(k)]
-        if len(hits) == 1:
-            return hits[0]
         if len(hits) > 1:
-            # Prefer the shortest (least-nested) match.
-            hits.sort(key=len)
+            raise AmbiguousKeyError(
+                f"state-dict pattern {fragments} matches {len(hits)} keys — "
+                f"refusing to guess: {sorted(hits)}")
+        if hits:
+            self.consumed[hits[0]] = self.consumed.get(hits[0], 0) + 1
             return hits[0]
         return None
 
@@ -120,10 +133,57 @@ class _Resolver:
         k = self.find(*fragments)
         return None if k is None else np.asarray(self.sd[k], np.float32)
 
+    def unconsumed(self):
+        return [k for k in self._keys if k not in self.consumed]
+
+
+# Non-parameter torch buffers that may ride along in a state dict; their
+# absence from the mapped pytree is expected, not a mapping hole.
+_IGNORABLE = re.compile(
+    r"(^|\.)(position_ids|inv_freq|num_batches_tracked|rotary_emb\.[^.]+)$")
+
+
+def _expected_shapes(cfg: CaduceusConfig, gio: int, has_lm_head: bool):
+    """Target-pytree leaf shapes implied by the config (the ground truth a
+    strict import must match — any transpose/split mistake lands here)."""
+    d, di = cfg.d_model, cfg.d_inner
+    N, R, K = cfg.d_state, cfg.dt_rank, cfg.d_conv
+    L, V, G = cfg.n_layer, cfg.vocab_size, cfg.n_directions
+    want = {
+        "embedding": (V, d),
+        "norm_f_weight": (d,),
+        "blocks": {
+            "norm_weight": (L, d),
+            "in_proj_x": (L, gio, d, di),
+            "in_proj_z": (L, gio, d, di),
+            "out_proj": (L, gio, di, d),
+            "conv_w": (L, G, di, K),
+            "conv_b": (L, G, di),
+            "x_proj_dt": (L, G, di, R),
+            "x_proj_B": (L, G, di, N),
+            "x_proj_C": (L, G, di, N),
+            "dt_proj_w": (L, G, R, di),
+            "dt_proj_b": (L, G, di),
+            "A_log": (L, G, di, N),
+            "D": (L, G, di),
+        },
+    }
+    if has_lm_head:
+        want["lm_head"] = (V, d)
+    return want
+
 
 def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
-                  dtype=jnp.float32):
-    """Build the framework parameter pytree from an HF checkpoint dir."""
+                  dtype=jnp.float32, strict: bool = True):
+    """Build the framework parameter pytree from an HF checkpoint dir.
+
+    ``strict`` (default) makes the import an exact bijection proof: after
+    mapping, (a) every state-dict tensor must have been consumed (modulo
+    known torch buffers) and (b) every target leaf must match the shape the
+    config implies. A real released checkpoint therefore either maps
+    correctly or fails loudly naming the offending key — never scores
+    garbage (the silent-failure hazard of SURVEY.md §7.3 and the reference's
+    trust_remote_code load at src/zero_shot_score.py:91)."""
     if cfg is None:
         cfg = load_hf_config(model_dir)
     sd = load_state_dict(model_dir)
@@ -205,4 +265,29 @@ def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
     lm = r.maybe("lm_head", "weight")
     if lm is not None and not np.array_equal(lm, np.asarray(sd[emb_key], np.float32)):
         params["lm_head"] = jnp.asarray(lm, dtype)
+
+    if strict:
+        stray = [k for k in r.unconsumed() if not _IGNORABLE.search(k)]
+        if stray:
+            raise ValueError(
+                f"strict import: {len(stray)} state-dict tensor(s) were never "
+                f"consumed by the mapping — the checkpoint layout does not "
+                f"match what the importer understands: {sorted(stray)[:20]}")
+        gio = int(params["blocks"]["in_proj_x"].shape[1])
+        if gio not in (1, G):
+            raise ValueError(f"strict import: in/out projection direction "
+                             f"axis is {gio}, expected 1 (tied) or {G}")
+        want = _expected_shapes(cfg, gio, "lm_head" in params)
+        errs = []
+        for name, leaf, expect in (
+                [(k, params[k], want[k]) for k in want if k != "blocks"]
+                + [(f"blocks.{k}", params["blocks"][k], want["blocks"][k])
+                   for k in want["blocks"]]):
+            if tuple(leaf.shape) != expect:
+                errs.append(f"{name}: got {tuple(leaf.shape)}, want {expect}")
+        if errs:
+            raise ValueError(
+                "strict import: mapped tensor shapes disagree with the "
+                "config (transposed/misplaced weights?):\n  "
+                + "\n  ".join(errs))
     return params, cfg

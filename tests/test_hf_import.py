@@ -142,6 +142,77 @@ def test_untied_directions(tmp_path, rng):
     assert params["blocks"]["in_proj_x"].shape[1] == 2
 
 
+def _save(tmp_path, sd, cfg):
+    import torch
+
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "d_model": cfg.d_model, "n_layer": cfg.n_layer,
+        "vocab_size": cfg.vocab_size, "rcps": True,
+        "ssm_cfg": {"d_state": cfg.d_state, "d_conv": cfg.d_conv,
+                    "expand": cfg.expand},
+    }))
+    return tmp_path
+
+
+def test_strict_rejects_extra_key(tmp_path, rng):
+    """A stray tensor the mapping never consumes must fail, naming the key."""
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    sd["caduceus.backbone.layers.0.mixer.submodule.mystery.weight"] = (
+        np.zeros((3, 3), np.float32))
+    with pytest.raises(ValueError, match="mystery"):
+        hf_import.import_params(_save(tmp_path, sd, cfg))
+    # non-strict tolerates it
+    hf_import.import_params(_save(tmp_path, sd, cfg), strict=False)
+
+
+def test_strict_rejects_renamed_key(tmp_path, rng):
+    """A renamed tensor fails twice over: missing at its site AND stray."""
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    for dir_ in ("mamba_fwd", "mamba_rev"):
+        m = f"caduceus.backbone.layers.1.mixer.submodule.{dir_}"
+        sd[f"{m}.dt_projection.weight"] = sd.pop(f"{m}.dt_proj.weight")
+    with pytest.raises((KeyError, ValueError), match="dt_proj"):
+        hf_import.import_params(_save(tmp_path, sd, cfg))
+
+
+def test_strict_rejects_transposed_tensor(tmp_path, rng):
+    """A transposed x_proj lands as the wrong leaf shape -> loud failure."""
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    for i in range(cfg.n_layer):
+        for dir_ in ("mamba_fwd", "mamba_rev"):
+            m = f"caduceus.backbone.layers.{i}.mixer.submodule.{dir_}"
+            sd[f"{m}.x_proj.weight"] = sd[f"{m}.x_proj.weight"].T.copy()
+    with pytest.raises(ValueError, match="x_proj"):
+        hf_import.import_params(_save(tmp_path, sd, cfg))
+
+
+def test_ambiguous_key_is_fatal(tmp_path, rng):
+    """Two keys matching one lookup pattern must raise, not shortest-match."""
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    sd["caduceus.backbone.norm_f.extra.norm_f.weight"] = np.ones(
+        cfg.d_model, np.float32)
+    with pytest.raises(KeyError, match="refusing to guess"):
+        hf_import.import_params(_save(tmp_path, sd, cfg))
+
+
+def test_strict_rejects_wrong_config_width(tmp_path, rng):
+    """Config/weights disagreement (wrong d_model) cannot import silently."""
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    path = _save(tmp_path, sd, cfg)
+    bad = json.loads((path / "config.json").read_text())
+    bad["d_model"] = cfg.d_model * 2
+    (path / "config.json").write_text(json.dumps(bad))
+    with pytest.raises((ValueError, KeyError)):
+        hf_import.import_params(path)
+
+
 def test_export_import_roundtrip(tmp_path, rng):
     """export_hf_dir -> import_params must reproduce params and forward."""
     import jax

@@ -1,13 +1,20 @@
-"""Parity harness: compare zero-shot score TSVs against reference outputs.
+"""Parity harness: checkpoint-to-scores in one command, and TSV comparison.
 
-Usage:
+Usage (compare two scoring TSVs):
     python tools/parity_check.py ours.tsv theirs.tsv [--col zeroShotScore]
                                  [--rtol 1e-3] [--atol 1e-4]
 
-Both files are scoring TSVs (cli.zero_shot_score output / the torch
-reference's output). Rows are matched on (chr, pos, ref, alt) when present,
-else by order. Prints max/mean absolute difference, correlation, and
-pass/fail under the tolerance; exit code 1 on failure.
+Usage (real-checkpoint gate — strict import + score, then optional compare):
+    python tools/parity_check.py --import <hf_ckpt_dir> \
+        [--table examples.tsv] [--out ours.tsv] [--batch 128] [theirs.tsv]
+
+``--import`` runs compat.hf_import.import_params(strict=True) — the
+checkpoint either maps exactly (every tensor consumed, every shape right) or
+the command fails naming the offending keys — then scores ``--table``
+(default: the reference example_snp.tsv fixture) through the standard
+engine. Passing a reference TSV afterwards compares the two. Rows are
+matched on (chr, pos, ref, alt) when present, else by order. Prints max/mean
+absolute difference, correlation, and pass/fail; exit code 1 on failure.
 """
 
 import argparse
@@ -18,17 +25,60 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REF_FIXTURE = "/root/reference/examples/example_snp.tsv"
+
+
+def run_import_and_score(ckpt: str, table: str, out: str, batch: int) -> str:
+    """Strict-import ``ckpt`` and score ``table`` into ``out``. Returns out."""
+    from plantcaduceus_tpu.utils.platform import maybe_force_platform
+
+    maybe_force_platform()  # BEFORE any array op (PCAD_PLATFORM=cpu support)
+    from plantcaduceus_tpu.cli import zero_shot_score
+
+    # Ensure a broken checkpoint fails HERE, with the strict importer's
+    # key-level message, before any scoring machinery spins up. Host arrays
+    # only — eager device transfers through the TPU tunnel are slow.
+    import jax
+
+    from plantcaduceus_tpu.compat.hf_import import import_params
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        import_params(ckpt, strict=True)
+    zero_shot_score.main(["-input-table", table, "-model", ckpt,
+                          "-output", out, "-batchSize", str(batch)])
+    return out
+
 
 def main():
     import pandas as pd
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("ours")
-    ap.add_argument("theirs")
+    ap.add_argument("ours", nargs="?",
+                    help="scoring TSV (omit with --import)")
+    ap.add_argument("theirs", nargs="?",
+                    help="reference scoring TSV (optional with --import)")
+    ap.add_argument("--import", dest="import_dir", default=None,
+                    help="HF checkpoint dir: strict-import, score --table, "
+                         "write --out, then compare if a reference TSV given")
+    ap.add_argument("--table", default=REF_FIXTURE)
+    ap.add_argument("--out", default="parity_scores.tsv")
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--col", default="zeroShotScore")
     ap.add_argument("--rtol", type=float, default=1e-3)
     ap.add_argument("--atol", type=float, default=1e-4)
     args = ap.parse_args()
+
+    if args.import_dir:
+        if args.ours and not args.theirs:  # sole positional = reference TSV
+            args.ours, args.theirs = None, args.ours
+        path = run_import_and_score(args.import_dir, args.table, args.out,
+                                    args.batch)
+        print(f"strict import OK; scores written to {path}")
+        if not args.theirs:
+            return
+        args.ours = path
+    elif not (args.ours and args.theirs):
+        ap.error("either two TSVs or --import <ckpt_dir> is required")
 
     a = pd.read_csv(args.ours, sep="\t")
     b = pd.read_csv(args.theirs, sep="\t")
