@@ -39,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEF_BL = 512
 DEF_BD = 256
+# Scoped-VMEM fit boundary for the auto tile picker: the xg scratch is
+# 8*bl*D bytes and the loop temporaries scale with bl*bd, so with bd=D the
+# kernel fits iff bl*D stays at or below this (measured on v5e: 512*768 and
+# 256*1536 = 393216 compile, 256*2048 = 524288 OOMs the 16MB limit).
+_VMEM_FIT_ELEMS = 393216
 
 
 def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
@@ -170,8 +175,8 @@ def mixer_scan_fused(
     A: jax.Array,        # [D, N]
     Dskip: jax.Array,    # [D]
     reverse: bool = False,
-    bl: int = DEF_BL,
-    bd: int = DEF_BD,
+    bl: int | None = None,
+    bd: int | None = None,
     emit_residuals: bool = False,
 ):
     """Fused mixer interior for one scan direction. With
@@ -183,6 +188,20 @@ def mixer_scan_fused(
     N = w_B.shape[-1]
     Rk = w_dtlr.shape[-1]
     K = conv_w.shape[-1]
+    if bd is None:
+        # Whole channel dim as one lane tile (nd=1): measured 10-18% faster
+        # than bd=256 at every preset d_inner (768..2048) on v5e — the scan
+        # of chunk s-1 never revisits d-tiles, so carry/halo scratch stays
+        # single-buffered and the conv/scan pipeline has no parked steps.
+        # The residual-emitting (training) variant keeps DEF_BD: its extra
+        # per-tile outputs (acc/hb/dt_lr/B/C) don't fit at bd=D.
+        bd = D if not emit_residuals else min(DEF_BD, D)
+    if bl is None:
+        # Largest time chunk whose scratch fits scoped VMEM (xg is
+        # 8*bl*D bytes, temporaries scale with bl*bd).
+        bl = min(DEF_BL, L)
+        while bl > 128 and bl * D > _VMEM_FIT_ELEMS and L % (bl // 2) == 0:
+            bl //= 2
     bl = min(bl, L)
     bd = min(bd, D)
     if L % bl or D % bd:
