@@ -336,3 +336,77 @@ def test_decay_mask_skips_all_biases_both_variants():
             is_bias_like = (leaf.endswith("_b") or "bias" in leaf
                             or "norm" in name or leaf in ("A_log", "D"))
             assert m != is_bias_like, (name, m)
+
+
+def test_checkpoint_cross_mesh_restore(tmp_path, rng):
+    """The realistic recovery scenario: a state trained and saved on one
+    mesh layout restores onto a different one and continues training with
+    identical metrics — both directions (fsdp-sharded -> replicated DP and
+    back). The tiny config's stacked leaves have dim0=2, so fsdp=2 is the
+    largest shardable degree here."""
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    tok = DnaTokenizer()
+    collate = MlmCollator(tok, seed=0)
+
+    def batch_for(step):
+        ids = np.random.default_rng(step).integers(
+            7, 11, size=(16, 32)).astype(np.int32)
+        b = collate(ids, loss_weights=np.ones_like(ids, np.float32),
+                    rng=np.random.default_rng([5, step]))
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    from plantcaduceus_tpu.train.checkpoint import CheckpointManager
+
+    gather = jax.device_get
+    mesh_a = meshlib.make_mesh(meshlib.MeshConfig(fsdp=2))   # data=4, fsdp=2
+    mesh_b = meshlib.make_mesh(meshlib.MeshConfig(data=8))   # replicated DP
+    init_a, step_a, _ = step_lib.make_train_step(
+        cfg, opt, mesh_a, params, dtype=jnp.float32, remat=False)
+    init_b, step_b, _ = step_lib.make_train_step(
+        cfg, opt, mesh_b, params, dtype=jnp.float32, remat=False)
+
+    # Train 2 steps on the fsdp mesh and save.
+    state = init_a(params)
+    for s in range(2):
+        state, _ = step_a(state, batch_for(s))
+    mgr = CheckpointManager(tmp_path / "ckpt", save_interval_steps=1)
+    assert mgr.save(2, state)
+    mgr.wait()
+    emb_saved = gather(state.params["embedding"])
+    # Continue on mesh A (donates `state`'s buffers).
+    ref_state, ref_m = step_a(state, batch_for(2))
+
+    # fsdp-sharded checkpoint -> replicated mesh.
+    restored = mgr.restore(init_b(params))
+    assert int(restored.step) == 2
+    # Every leaf must land on the new mesh (the jitted step rejects mixed
+    # placement otherwise).
+    for leaf in jax.tree.leaves(restored.params):
+        assert leaf.sharding.mesh.shape == mesh_b.shape
+    np.testing.assert_allclose(gather(restored.params["embedding"]),
+                               emb_saved, rtol=0, atol=0)
+    nxt_b, m_b = step_b(restored, batch_for(2))
+    np.testing.assert_allclose(float(m_b["loss"]), float(ref_m["loss"]),
+                               rtol=1e-6)
+    emb_ref = gather(ref_state.params["embedding"])
+    emb_b = gather(nxt_b.params["embedding"])
+    np.testing.assert_allclose(emb_b, emb_ref, rtol=1e-6, atol=1e-7)
+
+    # Replicated checkpoint -> fsdp mesh (the reverse recovery).
+    mgr2 = CheckpointManager(tmp_path / "ckpt2", save_interval_steps=1)
+    assert mgr2.save(3, nxt_b)
+    mgr2.wait()
+    back = mgr2.restore(init_a(params))
+    for leaf in jax.tree.leaves(back.params):
+        assert leaf.sharding.mesh.shape == mesh_a.shape
+    nxt_a, m_a = step_a(back, batch_for(3))
+    want_state, want_m = step_b(nxt_b, batch_for(3))
+    np.testing.assert_allclose(float(m_a["loss"]), float(want_m["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(gather(nxt_a.params["embedding"]),
+                               gather(want_state.params["embedding"]),
+                               rtol=1e-6, atol=1e-7)
+    mgr.close()
+    mgr2.close()
