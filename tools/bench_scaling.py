@@ -1,0 +1,104 @@
+"""Measure 1->N scaling efficiency of the sharded scoring engine.
+
+The BASELINE.md north star is >=85% windows/s scaling efficiency from one
+chip to N. This harness times the same fixed workload on a 1-device mesh
+and on an N-device mesh (batch sharded over the data axis, weights
+replicated) and reports efficiency = wps_N / (N * wps_1). On a single-chip
+box it exercises the harness itself over the virtual CPU mesh
+(PCAD_PLATFORM=cpu with --xla_force_host_platform_device_count=N);
+on a real pod the same command produces the deliverable measurement.
+
+Usage: python tools/bench_scaling.py [--model l20] [--windows 2048]
+       [--devices 1 2 4 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from plantcaduceus_tpu.utils.platform import maybe_force_platform  # noqa: E402
+
+maybe_force_platform()  # PCAD_PLATFORM=cpu + xla_force_host_platform_device_count=N
+
+
+def measure(model: str, n_dev: int, n_windows: int, batch: int,
+            overrides: dict | None = None) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from plantcaduceus_tpu.engine.runner import InferenceRunner
+    from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+    from plantcaduceus_tpu.parallel import mesh as meshlib
+    from plantcaduceus_tpu.utils.model_loading import init_params_host
+
+    window = 8192 if model.startswith("pc2") else 512
+    cfg = CaduceusConfig.preset(model, **(overrides or {}))
+    params = init_params_host(cfg)
+    tok = DnaTokenizer()
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=n_dev),
+                             devices=jax.devices()[:n_dev])
+    # Per-dispatch batch grows with the mesh so each device keeps the same
+    # local batch — the weak-scaling regime the 85% target is defined on.
+    runner = InferenceRunner(params, cfg, mesh=mesh, dtype=jnp.bfloat16,
+                             batch_size=batch * n_dev)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(7, 11, size=(n_windows, window)).astype(np.int32)
+    pos = window // 2 - 1
+    ids[:, pos] = tok.mask_token_id
+    nuc = [7, 8, 9, 10]
+
+    runner.masked_probs(ids[: batch * n_dev], nuc, pos, progress=False)
+    t0 = time.time()
+    probs = runner.masked_probs(ids, nuc, pos, progress=False)
+    dt = time.time() - t0
+    assert probs.shape == (n_windows, 4) and np.isfinite(probs).all()
+    return n_windows / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="l20")
+    ap.add_argument("--windows", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="per-device batch (global batch = batch * n)")
+    ap.add_argument("--devices", type=int, nargs="*", default=None,
+                    help="device counts to time (default: 1 and all)")
+    ap.add_argument("--d-model", type=int, default=None,
+                    help="override preset width (CPU smoke runs)")
+    ap.add_argument("--n-layer", type=int, default=None,
+                    help="override preset depth (CPU smoke runs)")
+    args = ap.parse_args()
+
+    import jax
+
+    avail = len(jax.devices())
+    counts = args.devices or sorted({1, avail})
+    base = None
+    for n in counts:
+        if n > avail:
+            print(json.dumps({"devices": n, "skipped": f"only {avail}"}))
+            continue
+        overrides = {k: v for k, v in
+                     (("d_model", args.d_model), ("n_layer", args.n_layer))
+                     if v is not None}
+        wps = measure(args.model, n, args.windows, args.batch, overrides)
+        if n == counts[0]:
+            base = wps / n
+        eff = wps / (n * base) if base else None
+        print(json.dumps({
+            "model": args.model, "devices": n,
+            "windows_per_s": round(wps, 1),
+            "scaling_efficiency": round(eff, 3) if eff else None,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
