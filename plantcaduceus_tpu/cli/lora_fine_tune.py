@@ -244,7 +244,40 @@ def _task_metrics(task_type, logits, labels, M):
 def _load_for_eval(args):
     import jax
 
+    from plantcaduceus_tpu.compat import peft_adapter
     from plantcaduceus_tpu.train import lora as lora_lib
+
+    if peft_adapter.is_peft_adapter_dir(args.checkpoint_dir):
+        # Released PEFT-format adapter dirs (the reference resolves these
+        # via PeftConfig.base_model_name_or_path, lora_fine_tune.py:502-515)
+        # map onto the framework adapter tree through the strict importer.
+        from plantcaduceus_tpu.utils.model_loading import (
+            load_model_and_tokenizer)
+
+        if not args.model_name:
+            raise SystemExit("--model-name is required with a PEFT adapter "
+                             "dir (its base_model_name_or_path is a hub id, "
+                             "not a local path)")
+        _, cfg_probe, _ = load_model_and_tokenizer(args.model_name)
+        adapters, head, cfg_l, task_type, base = \
+            peft_adapter.import_peft_adapter(args.checkpoint_dir, cfg_probe)
+        if head is None:
+            raise SystemExit("PEFT adapter carries no classification head "
+                             "(modules_to_save) — cannot evaluate/predict")
+        import jax.numpy as _jnp
+
+        adapters = jax.tree.map(_jnp.asarray, adapters)
+        head = jax.tree.map(_jnp.asarray, head)
+        ns = argparse.Namespace(**vars(args))
+        ns.full_finetune = False
+        ns.lora_r, ns.lora_alpha, ns.lora_dropout = (cfg_l.r, cfg_l.alpha,
+                                                     cfg_l.dropout)
+        num_labels = head["b"].shape[0]
+        (params, cfg, tok, mesh, cfg_l2, optimizer, train_step, infer_fn,
+         _) = _build(ns, task_type, num_labels)
+        state = lora_lib.LoraTrainState(adapters, head, optimizer.init(
+            (adapters, head)), 0)
+        return state, params, infer_fn, task_type
 
     adapters, head, cfg_l, task_type, base = lora_lib.load_adapter(
         args.checkpoint_dir)
