@@ -49,7 +49,8 @@ _VMEM_FIT_ELEMS = 393216
 def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
                   wdt_ref, dtb_ref, A_ref, Dsk_ref, xi_ref,
                   *refs, reverse: bool, K: int, Rk: int, N: int,
-                  emit_res: bool, fuse_in: bool = False):
+                  emit_res: bool, fuse_in: bool = False,
+                  readout_vpu: bool = False):
     rest = list(refs)
     # With fuse_in the xi_ref block holds pre-projection x rows [bl, Dm]
     # and win_ref the [Dm, bd] in_proj slice: the projection runs on the
@@ -161,12 +162,27 @@ def _mixer_kernel(convw_ref, convb_ref, wdtlr_ref, wB_ref, wC_ref,
             # products instead was measured 6x SLOWER)
             at = jnp.exp2(dtl[t][None, :] * At)             # [N, bd]
             h0 = Bm[t][:, None] * dtx[t][None, :] + at * h0
-            # C-readout as a (1,N)x(N,bd) dot — on the otherwise-idle MXU
-            # rather than the VPU the recurrence saturates, and each step's
-            # state dies in registers instead of materialising [bl, N, bd].
-            ys.append(jax.lax.dot_general(
-                Cm[t : t + 1], h0, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))        # [1, bd]
+            if readout_vpu:
+                # C-readout as a VPU multiply + sublane-tree reduce —
+                # opt-in experiment. Hypothesis was that at large bd the
+                # MXU form below is issue-bound (bd/128 systolic passes
+                # per timestep); measured on v5e it is the opposite: this
+                # variant is ~60% slower at D=2048 (cross-sublane reduces
+                # cost more VPU time than the MXU issues they remove), so
+                # "auto" never picks it. Kept for hardware with different
+                # MXU-issue/VPU-shuffle balance. Also needs bl <= 64 at
+                # bd >= 2048: the unrolled [N, bd] mul temporaries are
+                # stack-allocated and overflow scoped VMEM at bl = 128.
+                ys.append(jnp.sum(Cm[t][:, None] * h0, axis=0,
+                                  keepdims=True))           # [1, bd]
+            else:
+                # C-readout as a (1,N)x(N,bd) dot — on the otherwise-idle
+                # MXU rather than the VPU the recurrence saturates; each
+                # step's state dies in registers instead of materialising
+                # [bl, N, bd]. Best at small bd (few passes per issue).
+                ys.append(jax.lax.dot_general(
+                    Cm[t : t + 1], h0, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))    # [1, bd]
         h_scr[di] = h0
         if reverse:
             ys = ys[::-1]
@@ -190,6 +206,7 @@ def mixer_scan_fused(
     bd: int | None = None,
     emit_residuals: bool = False,
     w_in: jax.Array | None = None,  # [Dm, D]: fuse in_proj; xi is then x
+    readout: str = "auto",          # C-readout engine: auto | mxu | vpu
 ):
     """Fused mixer interior for one scan direction. With
     ``emit_residuals`` also returns (acc, dt_lr, B, C, hb) — the pre-SiLU
@@ -275,8 +292,17 @@ def mixer_scan_fused(
             jax.ShapeDtypeStruct((B, nl, D, N), jnp.float32),
         ]
 
+    if readout == "auto":
+        # Measured on v5e (D=2048, B=128, L=512): the VPU mul+sublane-tree
+        # readout is ~60% SLOWER than the per-step MXU dot (9.2 vs 5.7 ms)
+        # — cross-sublane reduces are expensive enough that the MXU form
+        # wins even when a (1,N)x(N,bd) dot is bd/128 systolic passes per
+        # timestep. The vpu variant stays as an opt-in experiment for
+        # hardware where the balance differs.
+        readout = "mxu"
     kernel = functools.partial(_mixer_kernel, reverse=reverse, K=K, Rk=Rk,
-                               N=N, emit_res=emit_residuals, fuse_in=fuse_in)
+                               N=N, emit_res=emit_residuals, fuse_in=fuse_in,
+                               readout_vpu=readout == "vpu")
     in_specs = [
         pl.BlockSpec((1, 8, bd), lambda b, s, d: (0, 0, d)),   # conv_w
         pl.BlockSpec((1, 1, bd), dmap3),                       # conv_b

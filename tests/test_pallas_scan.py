@@ -304,3 +304,23 @@ def test_bimamba_fused_x_value_and_grads(rng):
     for g, w, name in zip(gp, gr, names):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=4e-3, atol=4e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_mixer_readout_vpu_matches_mxu(rng, reverse):
+    """The opt-in VPU C-readout (mul + sublane-tree reduce) must produce
+    the same values as the default per-step MXU dot — same math, different
+    engine (ops/pallas_mixer._mixer_kernel readout_vpu branch)."""
+    from plantcaduceus_tpu.ops.pallas_mixer import mixer_scan_fused
+
+    B, L, D, N, R = 2, 128, 32, 8, 8
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+    args = (f(B, L, D), f(D, 4), f(D), f(D, R), f(D, N), f(D, N),
+            f(R, D), f(D), -jnp.abs(f(D, N)) - 0.3, f(D))
+    with pltpu.force_tpu_interpret_mode():
+        want = mixer_scan_fused(*args, reverse=reverse, bl=64, bd=32,
+                                readout="mxu")
+        got = mixer_scan_fused(*args, reverse=reverse, bl=64, bd=32,
+                               readout="vpu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--bl", type=int, nargs="*", default=[128, 256, 512])
     ap.add_argument("--bd", type=int, nargs="*", default=[128, 256, 512])
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--readout", choices=["auto", "mxu", "vpu"],
+                    default="auto")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +55,7 @@ def main():
         def run(x):
             return pallas_mixer.mixer_scan_fused(
                 x, conv_w, conv_b, w_dtlr, w_B, w_C, dt_proj_w, dt_bias,
-                A, Dskip, bl=bl, bd=bd)
+                A, Dskip, bl=bl, bd=bd, readout=args.readout)
 
         try:
             jitted = jax.jit(run)
@@ -64,7 +66,7 @@ def main():
                 y = jitted(xi)
             y.block_until_ready()
             dt = (time.time() - t0) / args.reps
-            print(json.dumps({"bl": bl, "bd": bd,
+            print(json.dumps({"bl": bl, "bd": bd, "readout": args.readout,
                               "ms": round(dt * 1e3, 3),
                               "gb_s": round(
                                   (2 * B * L * D * 2) / dt / 1e9, 1)}),
