@@ -112,13 +112,14 @@ int64_t pcio_extract_windows(void* handle, const char* chrom,
         int64_t lo = pos - center;
         int64_t hi = pos + after;  // exclusive
         if (lo < 0) {
-            // rjust: left-pad with N
-            int64_t pad = -lo;
-            std::memset(row, 'N', static_cast<size_t>(pad));
+            // rjust semantics (src/zero_shot_score.py:193): the slice
+            // seq[0:hi] truncates at the chromosome end, then the WHOLE
+            // result right-justifies — all padding goes on the left, even
+            // when hi > L (short chromosome).
             int64_t m = (hi < L ? hi : L);
+            int64_t pad = window - m;
+            std::memset(row, 'N', static_cast<size_t>(pad));
             for (int64_t j = 0; j < m; ++j) row[pad + j] = upper(seq[static_cast<size_t>(j)]);
-            if (pad + m < window)
-                std::memset(row + pad + m, 'N', static_cast<size_t>(window - pad - m));
         } else {
             int64_t m = ((hi < L ? hi : L) - lo);
             if (m < 0) m = 0;

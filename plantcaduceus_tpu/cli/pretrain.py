@@ -46,7 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--output-dir", required=True)
     p.add_argument("--window", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=32,
-                   help="per-host batch (reference: 32/device)")
+                   help="per-host microbatch (reference: 32/device)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "step (reference pre-train recipe: 4 — README "
+                        "per-device batch 32 x accum 4)")
     p.add_argument("--max-steps", type=int, default=120000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--warmup-steps", type=int, default=1000)
@@ -125,8 +129,10 @@ def main(argv=None):
             remat = False
     init_state, train_step, eval_step = step_lib.make_train_step(
         cfg, optimizer, mesh, params, dtype=dtype, remat=remat,
-        pp_microbatches=args.pipe_microbatches)
+        pp_microbatches=args.pipe_microbatches, grad_accum=args.grad_accum)
     state = init_state(params)
+    # One optimizer step consumes batch_size * grad_accum rows.
+    step_rows = args.batch_size * args.grad_accum
 
     ckpt = ckpt_lib.CheckpointManager(args.output_dir,
                                       save_interval_steps=args.save_steps,
@@ -148,7 +154,7 @@ def main(argv=None):
         from plantcaduceus_tpu.train.streaming import StreamingPretrainDataset
 
         train_data = StreamingPretrainDataset(
-            args.dataset[len("shards:"):], tokenizer, args.batch_size,
+            args.dataset[len("shards:"):], tokenizer, step_rows,
             seq_column=args.seq_column, window=args.window,
             soft_masked_weight=args.soft_masked_weight_train,
             mlm_probability=args.mlm_probability, seed=args.seed,
@@ -159,7 +165,7 @@ def main(argv=None):
         seqs = data_lib.sequence_source(args.dataset, seq_column=args.seq_column,
                                         window=args.window, seed=args.seed)
         train_data = data_lib.PretrainDataset(
-            seqs, tokenizer, args.batch_size,
+            seqs, tokenizer, step_rows,
             soft_masked_weight=args.soft_masked_weight_train,
             mlm_probability=args.mlm_probability, seed=args.seed,
             process_index=jax.process_index(), process_count=jax.process_count())
@@ -189,7 +195,7 @@ def main(argv=None):
         except Exception as e:  # offline env: log and continue
             logging.warning("wandb unavailable: %s", e)
 
-    tokens_per_step = args.batch_size * args.window * jax.process_count()
+    tokens_per_step = step_rows * args.window * jax.process_count()
     # Resume data determinism: restart the stream at the restored step so
     # the resumed run sees exactly the batches an uninterrupted run would
     # (batches are a pure function of (seed, step) — train/data.py).

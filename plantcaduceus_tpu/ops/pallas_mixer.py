@@ -245,6 +245,17 @@ def mixer_scan_fused(
     bd = min(bd, D)
     if L % bl or D % bd:
         raise ValueError(f"shape not tileable: L={L} bl={bl} D={D} bd={bd}")
+    if readout not in ("auto", "mxu", "vpu"):
+        raise ValueError(f"unknown readout {readout!r}: expected one of "
+                         "'auto', 'mxu', 'vpu'")
+    if readout == "vpu" and bd >= 2048 and bl > 64:
+        # The unrolled [N, bd] mul temporaries of the VPU readout are
+        # stack-allocated and overflow scoped VMEM at bl=128 when bd>=2048
+        # (see _mixer_kernel readout_vpu comment).
+        raise ValueError(
+            f"readout='vpu' needs bl <= 64 at bd >= 2048 (got bl={bl}, "
+            f"bd={bd}): the per-step [N, bd] temporaries overflow scoped "
+            "VMEM; pass bl=64 explicitly or use readout='mxu'")
     nl, nd = L // bl, D // bd
 
     # conv taps as 8-sublane-aligned rows (lane-dim tap selection lowers

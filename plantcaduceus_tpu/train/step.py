@@ -136,10 +136,20 @@ def make_init_state(optimizer: optax.GradientTransformation, mesh: Mesh,
 
 def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
                  dtype=jnp.bfloat16, remat: bool = True,
-                 pp_microbatches: Optional[int] = None):
+                 pp_microbatches: Optional[int] = None,
+                 grad_accum: int = 1):
     """shard_map'd (params, batch) -> (loss, accuracy, grads). On a
     single-device mesh the shard_map wrapper (and its no-op collectives) is
-    bypassed entirely — measured ~1 s/step of overhead on the remote TPU."""
+    bypassed entirely — measured ~1 s/step of overhead on the remote TPU.
+
+    ``grad_accum > 1`` runs the batch as that many sequential microbatches
+    (``lax.scan`` over a [accum, rows/accum, L] reshape of each shard's
+    rows), accumulating gradients against the GLOBAL weight normaliser so an
+    accum-N step computes exactly the one-big-batch gradient (the reference
+    recipes depend on this: pre-train 32x4 per README, LoRA grad-accum 64 —
+    src/lora_fine_tune.py:311-333). FSDP params are all-gathered once per
+    optimizer step, not per microbatch, and gradients sync once — the
+    no_sync()-style DDP behavior."""
     tp = mesh.shape.get("tensor", 1) > 1
     tp_axis = "tensor" if tp else None
     sp_shards = mesh.shape.get("seq", 1)
@@ -166,61 +176,87 @@ def make_grad_fn(cfg: CaduceusConfig, mesh: Mesh, param_specs,
         return v if single else jax.lax.psum(v, axes)
 
     def local_grads(params, batch):
+        if grad_accum > 1:
+            rows = batch["labels"].shape[0]
+            if rows % grad_accum:
+                raise ValueError(f"per-shard batch rows {rows} must divide "
+                                 f"by grad_accum={grad_accum}")
+            batch = jax.tree.map(
+                lambda a: a.reshape((grad_accum, rows // grad_accum)
+                                    + a.shape[1:]), batch)
         # Global normaliser: parameter-independent (labels/weights only), so
         # its psum stays OUTSIDE the differentiated graph — differentiating
         # through psum under check_vma=False would scale grads by axis size.
+        # Computed over ALL microbatches, so accumulated grads sum to the
+        # one-big-batch gradient exactly.
         valid = batch["labels"] != -100
         w_local = valid.astype(jnp.float32)
         if "loss_weights" in batch:
             w_local = w_local * batch["loss_weights"].astype(jnp.float32)
         W = jnp.maximum(psum(jnp.sum(w_local), loss_axes), 1e-8)
 
-        def loss_fn(params_full):
+        def loss_fn(params_full, mb):
             if pp:
                 from plantcaduceus_tpu.parallel.pipeline import (
                     pipeline_forward)
 
                 logits, is_last = pipeline_forward(
-                    params_full, batch["input_ids"], cfg,
+                    params_full, mb["input_ids"], cfg,
                     n_stages=pp_stages, n_micro=pp_microbatches,
                     dtype=dtype, remat=remat)
-                nll, _ = _loss_sums(logits, batch["labels"],
-                                    batch.get("loss_weights"))
+                nll, _ = _loss_sums(logits, mb["labels"],
+                                    mb.get("loss_weights"))
                 # Non-final stages carry zero logits: gate their nll out;
                 # the psum over 'pipe' (outside the grad) restores the total.
                 nll = jnp.where(is_last, nll, 0.0)
                 return nll / W, jnp.where(is_last, logits, 0.0)
             out = caduceus.forward(
-                params_full, batch["input_ids"], cfg, dtype=dtype,
+                params_full, mb["input_ids"], cfg, dtype=dtype,
                 tp_axis=tp_axis, remat=remat,
                 sp_axis=sp_axis, sp_shards=sp_shards,
             )
-            nll, _ = _loss_sums(out["logits"], batch["labels"],
-                                batch.get("loss_weights"))
+            nll, _ = _loss_sums(out["logits"], mb["labels"],
+                                mb.get("loss_weights"))
             # Local share of the globally-normalised loss; grads psum in
             # _sync_grads reassembles the full gradient.
             return nll / W, out["logits"]
 
+        def one_microbatch(params_full, mb):
+            (obj, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params_full, mb)
+            # masked-token accuracy (metric parity: MaskedAccuracy ignore
+            # -100). Under pp only the final stage's logits are real; its
+            # pred==label count is the whole numerator (gated_axes includes
+            # 'pipe'; zero logits on other stages argmax to token 0, but
+            # their count is excluded by dividing by the stage-replicated
+            # valid total — token 0 is PAD/BOS-layout dependent, so gate
+            # explicitly instead).
+            pred = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum((pred == mb["labels"]) & (mb["labels"] != -100))
+            if pp:
+                correct = jnp.where(
+                    jax.lax.axis_index("pipe") == pp_stages - 1, correct, 0)
+            return obj, grads, correct
+
         params_full = params if single else _gather_fsdp(params, param_specs)
-        (local_obj, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params_full)
+        if grad_accum == 1:
+            local_obj, grads, correct = one_microbatch(params_full, batch)
+        else:
+            def body(carry, mb):
+                obj_acc, g_acc, corr_acc = carry
+                obj, g, corr = one_microbatch(params_full, mb)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (obj_acc + obj, g_acc, corr_acc + corr), None
+
+            init = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(jnp.zeros_like, params_full),
+                    jnp.zeros((), jnp.int32))
+            (local_obj, grads, correct), _ = jax.lax.scan(body, init, batch)
         if not single:
             grads = _sync_grads(grads, param_specs,
                                 extra_axes=("seq",) if sp else (), tp=tp,
                                 pp=pp)
         loss = psum(local_obj, gated_axes)
-
-        # masked-token accuracy (metric parity: MaskedAccuracy ignore -100).
-        # Under pp only the final stage's logits are real; its pred==label
-        # count is the whole numerator (gated_axes includes 'pipe'; zero
-        # logits on other stages argmax to token 0, but their count is
-        # excluded by dividing by the stage-replicated valid total — token 0
-        # is PAD/BOS-layout dependent, so gate explicitly instead).
-        pred = jnp.argmax(logits, axis=-1)
-        correct = jnp.sum((pred == batch["labels"]) & valid)
-        if pp:
-            correct = jnp.where(
-                jax.lax.axis_index("pipe") == pp_stages - 1, correct, 0)
         acc = psum(correct, gated_axes) / jnp.maximum(
             psum(jnp.sum(valid), loss_axes), 1)
         return loss, acc, grads
@@ -255,6 +291,7 @@ def make_train_step(
     remat: bool = True,
     fsdp: Optional[bool] = None,
     pp_microbatches: Optional[int] = None,
+    grad_accum: int = 1,
 ):
     """Build (init_state, train_step, eval_step).
 
@@ -262,8 +299,12 @@ def make_train_step(
     non-trivial fsdp axis. ``pp_microbatches`` sets the GPipe microbatch
     count under pipeline parallelism (default: the stage count; raising it
     shrinks the bubble — efficiency is M/(M + stages - 1) — at the cost of
-    smaller per-stage matmuls).
+    smaller per-stage matmuls). ``grad_accum=N`` expects train batches with
+    N-times the microbatch rows and runs them as N sequential microbatches
+    with one optimizer update (see make_grad_fn).
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if fsdp is None:
         fsdp = mesh.shape.get("fsdp", 1) > 1
     pp_stages_ = mesh.shape.get("pipe", 1)
@@ -281,7 +322,8 @@ def make_train_step(
     if mesh.shape.get("tensor", 1) > 1:
         meshlib.validate_tp_grad_coverage(pspecs)
     grad_fn = make_grad_fn(cfg, mesh, pspecs, dtype=dtype, remat=remat,
-                           pp_microbatches=pp_microbatches)
+                           pp_microbatches=pp_microbatches,
+                           grad_accum=grad_accum)
     init_state = make_init_state(optimizer, mesh, pspecs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -410,3 +410,89 @@ def test_checkpoint_cross_mesh_restore(tmp_path, rng):
                                rtol=1e-6, atol=1e-7)
     mgr.close()
     mgr2.close()
+
+
+def _make_mlm_batch(rng, n_rows, L=32):
+    tok = DnaTokenizer()
+    ids = rng.integers(7, 11, size=(n_rows, L)).astype(np.int32)
+    batch = MlmCollator(tok, seed=3)(ids)
+    batch["loss_weights"] = rng.uniform(0.1, 1.0,
+                                        size=(n_rows, L)).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.mark.parametrize("accum", [2, 4])
+def test_grad_accum_equals_big_batch_step(rng, accum):
+    """An accum-N step must compute the one-big-batch gradient exactly
+    (global normaliser over all microbatches): identical updated params,
+    loss, and accuracy vs grad_accum=1 on the same rows — the property the
+    reference recipes (pre-train 32x4, LoRA accum 64) rely on."""
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(1), cfg)
+    optimizer = optax.adamw(1e-3)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=1),
+                             devices=jax.devices()[:1])
+    batch = _make_mlm_batch(rng, n_rows=8)
+
+    pspecs = meshlib.param_pspec_tree(params, replicated=True)
+    results = {}
+    for ga in (1, accum):
+        grad_fn = step_lib.make_grad_fn(cfg, mesh, pspecs,
+                                        dtype=jnp.float32, remat=False,
+                                        grad_accum=ga)
+        loss, acc, grads = jax.jit(grad_fn)(params, batch)
+        init_state, train_step, _ = step_lib.make_train_step(
+            cfg, optimizer, mesh, params, dtype=jnp.float32, remat=False,
+            grad_accum=ga)
+        state = init_state(params)
+        state, metrics = train_step(state, batch)
+        results[ga] = (jax.device_get(grads), jax.device_get(state.params),
+                       {k: float(v) for k, v in metrics.items()})
+
+    g1, p1, m1 = results[1]
+    gN, pN, mN = results[accum]
+    assert m1["loss"] == pytest.approx(mN["loss"], rel=1e-6)
+    assert m1["accuracy"] == mN["accuracy"]
+    # Gradients themselves agree tightly (pure reassociation of the same
+    # per-row terms)...
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-5,
+                                                         atol=1e-7), g1, gN)
+    # ...Adam's m/sqrt(v) normalisation amplifies ulp-level grad noise on
+    # near-zero entries, so post-update params get a looser band.
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3,
+                                                         atol=1e-6), p1, pN)
+
+
+def test_grad_accum_sharded_matches_single_device(rng):
+    """grad_accum under a multi-device (data x fsdp) mesh reproduces the
+    single-device accumulated step."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(1), cfg)
+    optimizer = optax.adamw(1e-3)
+    batch = _make_mlm_batch(rng, n_rows=8)
+
+    out = {}
+    for name, mesh_cfg, devs in (
+        ("single", meshlib.MeshConfig(data=1), jax.devices()[:1]),
+        ("dp_fsdp", meshlib.MeshConfig(data=2, fsdp=2), jax.devices()[:4]),
+    ):
+        mesh = meshlib.make_mesh(mesh_cfg, devices=devs)
+        init_state, train_step, _ = step_lib.make_train_step(
+            cfg, optimizer, mesh, params, dtype=jnp.float32, remat=False,
+            grad_accum=2)
+        state = init_state(params)
+        placed = {k: jax.device_put(
+            v, jax.sharding.NamedSharding(mesh, meshlib.batch_spec()))
+            for k, v in batch.items()}
+        state, metrics = train_step(state, placed)
+        # fsdp-sharded params: gather to host for comparison
+        out[name] = (jax.tree.map(np.asarray, jax.device_get(state.params)),
+                     {k: float(v) for k, v in metrics.items()})
+
+    ps, ms = out["single"]
+    pm, mm = out["dp_fsdp"]
+    assert ms["loss"] == pytest.approx(mm["loss"], rel=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-6), ps, pm)
