@@ -98,19 +98,28 @@ def _load_parquet(path):
     return ids, labels
 
 
-def _batches(ids, labels, batch_size, shuffle=False, seed=0, repeat=False):
+def _batch_at(ids, labels, batch_size, step, seed=0, shuffle=True):
+    """Training batch for a global step as a PURE function of (seed, step):
+    global row g = step*batch_size + j indexes the concatenation of
+    per-epoch permutations, so (a) no tail rows are ever dropped at epoch
+    boundaries (the reference's HF Trainer keeps them via drop_last=False) —
+    the tail simply shares a batch with the next epoch's head — and (b)
+    resume from a checkpoint replays the exact uninterrupted stream."""
     n = ids.shape[0]
-    rng = np.random.default_rng(seed)
-    while True:
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            idx = order[i : i + batch_size]
-            batch = {"input_ids": ids[idx]}
-            if labels is not None:
-                batch["labels"] = labels[idx]
-            yield batch
-        if not repeat:
-            return
+
+    def order(epoch):
+        if not shuffle:
+            return np.arange(n)
+        return np.random.default_rng([seed, epoch]).permutation(n)
+
+    g0 = step * batch_size
+    e0, e1 = g0 // n, (g0 + batch_size - 1) // n
+    orders = {e: order(e) for e in range(e0, e1 + 1)}
+    idx = np.array([orders[g // n][g % n] for g in range(g0, g0 + batch_size)])
+    batch = {"input_ids": ids[idx]}
+    if labels is not None:
+        batch["labels"] = labels[idx]
+    return batch
 
 
 def _build(args, task_type, num_labels):
@@ -136,13 +145,15 @@ def _build(args, task_type, num_labels):
         warmup_steps=args.warmup_steps, total_steps=args.max_steps,
         weight_decay=args.weight_decay, grad_clip=1.0)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    grad_accum = getattr(args, "grad_accum", 1)
     if getattr(args, "full_finetune", False):
         train_step, infer_fn = lora_lib.make_full_finetune_step(
-            cfg, optimizer, mesh, task_type=task_type, dtype=dtype)
+            cfg, optimizer, mesh, task_type=task_type, dtype=dtype,
+            grad_accum=grad_accum)
     else:
         train_step, infer_fn = lora_lib.make_lora_train_step(
             cfg, cfg_l, optimizer, mesh, params, task_type=task_type,
-            dtype=dtype)
+            dtype=dtype, grad_accum=grad_accum)
     return params, cfg, tok, mesh, cfg_l, optimizer, train_step, infer_fn, num_labels
 
 
@@ -179,7 +190,23 @@ def cmd_train(args):
     (params, cfg, tok, mesh, cfg_l, optimizer, train_step, infer_fn,
      num_labels) = _build(args, task_type, num_labels)
 
-    if args.full_finetune:
+    if args.resume_from:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state, cfg_l_saved, task_saved, _ = lora_lib.load_train_state(
+            args.resume_from, optimizer)
+        if task_saved != task_type:
+            sys.exit(f"checkpoint task_type {task_saved!r} != requested "
+                     f"{task_type!r}")
+        # Restored leaves are committed to one device; replicate onto the
+        # mesh to match the (replicated) base params the jitted step sees.
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), rep),
+                             state)
+        log.info("Resumed training from %s at step %d", args.resume_from,
+                 int(state.step))
+    elif args.full_finetune:
         from plantcaduceus_tpu.models import heads as heads_lib
         import jax.numpy as jnp
 
@@ -193,12 +220,15 @@ def cmd_train(args):
             jax.random.PRNGKey(args.seed), params, cfg, cfg_l, num_labels,
             optimizer)
 
-    data = _batches(ids_tr, y_tr, args.train_batch_size, shuffle=True,
-                    seed=args.seed, repeat=True)
+    # One optimizer step consumes train_batch_size * grad_accum rows.
+    step_rows = args.train_batch_size * args.grad_accum
     rng = jax.random.PRNGKey(args.seed + 1)
-    for step in range(args.max_steps):
-        batch = next(data)
-        rng, sub = jax.random.split(rng)
+    start_step = int(state.step)
+    for step in range(start_step, args.max_steps):
+        batch = _batch_at(ids_tr, y_tr, step_rows, step, seed=args.seed)
+        # Dropout rng keyed by step (not a sequential split): resume draws
+        # the exact masks an uninterrupted run would.
+        sub = jax.random.fold_in(rng, step)
         state, metrics = train_step(state, params, batch, sub)
         # per-step sync (donated-state run-ahead degrades the remote runtime)
         loss = float(metrics["loss"])
@@ -212,17 +242,21 @@ def cmd_train(args):
                      {k: round(v, 4) for k, v in m.items()})
         if (step + 1) % args.save_steps == 0 or step + 1 == args.max_steps:
             _save_state(args, Path(args.output_dir) / f"checkpoint-{step+1}",
-                        state, cfg_l, task_type)
+                        state, cfg_l, task_type, resumable=True)
     _save_state(args, Path(args.output_dir) / "final", state, cfg_l, task_type)
     log.info("Saved adapter to %s/final", args.output_dir)
 
 
-def _save_state(args, path, state, cfg_l, task_type):
+def _save_state(args, path, state, cfg_l, task_type, resumable=False):
     from plantcaduceus_tpu.train import lora as lora_lib
 
     if args.full_finetune:
         cfg_l = lora_lib.LoraConfig(r=0, alpha=0.0, dropout=0.0, targets=())
-    lora_lib.save_adapter(path, state, cfg_l, task_type, args.model_name)
+    if resumable:  # checkpoint-N: adapter + optimizer/step for --resume-from
+        lora_lib.save_train_state(path, state, cfg_l, task_type,
+                                  args.model_name)
+    else:          # final export: adapter only (evaluate/predict format)
+        lora_lib.save_adapter(path, state, cfg_l, task_type, args.model_name)
     if args.full_finetune:
         import json
         from pathlib import Path
@@ -411,6 +445,15 @@ def main(argv=None):
     tr.add_argument("--valid-dir", required=True)
     tr.add_argument("--output-dir", default="/tmp/pcv2-ft")
     tr.add_argument("--train-batch-size", type=int, default=8)
+    tr.add_argument("--grad-accum", type=int, default=64,
+                    help="gradient-accumulation microbatches per optimizer "
+                         "step (reference gradient_accumulation_steps "
+                         "default: 64 — src/lora_fine_tune.py:311-333)")
+    tr.add_argument("--resume-from", default=None,
+                    help="checkpoint-N dir from a previous run: restores "
+                         "adapters + head + optimizer state + step and "
+                         "replays the exact data/dropout stream "
+                         "(reference resume_from_checkpoint)")
     tr.add_argument("--eval-batch-size", type=int, default=8)
     tr.add_argument("--eval-num-samples", type=int, default=0)
     tr.add_argument("--eval-steps", type=int, default=25)

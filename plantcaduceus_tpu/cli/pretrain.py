@@ -36,8 +36,14 @@ from plantcaduceus_tpu.utils.platform import maybe_force_platform
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", required=True,
-                   help="synthetic | file.tsv/.parquet | genome.fa | hf:<name>")
+                   help="synthetic | file.tsv/.parquet | genome.fa | "
+                        "hf:<name> | shards:<dir-or-file> (streaming)")
     p.add_argument("--eval-dataset", default=None)
+    p.add_argument("--eval-shards", type=int, default=0,
+                   help="with a shards: dataset, hold out the last N shards "
+                        "as the eval split (streaming-mode eval per "
+                        "--eval-steps, like the reference Trainer's "
+                        "eval_strategy)")
     p.add_argument("--seq-column", default="seq")
     p.add_argument("--preset", default=None, choices=sorted(PRESETS))
     p.add_argument("--config", default=None, help="CaduceusConfig json path")
@@ -148,18 +154,38 @@ def main(argv=None):
     except FileNotFoundError:
         pass
 
-    if args.dataset.startswith("shards:"):
-        # Streaming path: shard directory, memory-bounded, multi-host
-        # deterministic (the MDS-streaming capability).
+    dataset = args.dataset
+    # Corpus-scale FASTA: route through the streaming path automatically —
+    # the in-memory source would either blow RSS or hit its cap.
+    if (dataset.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz"))
+            and not dataset.startswith("shards:")):
+        from pathlib import Path as _Path
+
+        if _Path(dataset).stat().st_size > 256 * 2**20:
+            logging.info("large FASTA (>256MB): streaming at O(chromosome) "
+                         "memory (shards: path)")
+            dataset = "shards:" + dataset
+    eval_stream = None
+    if dataset.startswith("shards:"):
+        # Streaming path: shard directory (or one big file), memory-bounded,
+        # multi-host deterministic (the MDS-streaming capability).
         from plantcaduceus_tpu.train.streaming import StreamingPretrainDataset
 
         train_data = StreamingPretrainDataset(
-            args.dataset[len("shards:"):], tokenizer, step_rows,
+            dataset[len("shards:"):], tokenizer, step_rows,
             seq_column=args.seq_column, window=args.window,
             soft_masked_weight=args.soft_masked_weight_train,
             mlm_probability=args.mlm_probability, seed=args.seed,
             process_index=jax.process_index(),
-            process_count=jax.process_count())
+            process_count=jax.process_count(),
+            eval_shards=args.eval_shards, split="train")
+        if args.eval_shards:
+            eval_stream = StreamingPretrainDataset(
+                dataset[len("shards:"):], tokenizer, args.batch_size,
+                seq_column=args.seq_column, window=args.window,
+                soft_masked_weight=args.soft_masked_weight_eval,
+                mlm_probability=args.mlm_probability, seed=args.seed,
+                eval_shards=args.eval_shards, split="eval")
         seqs = None
     else:
         seqs = data_lib.sequence_source(args.dataset, seq_column=args.seq_column,
@@ -176,8 +202,8 @@ def main(argv=None):
     elif seqs is not None:
         eval_seqs = seqs[: max(args.batch_size, len(seqs) // 20)]
     else:
-        eval_seqs = None  # streaming without an eval split: skip eval
-    eval_data = None
+        eval_seqs = None  # streaming: eval via --eval-shards holdout
+    eval_data = eval_stream
     if eval_seqs is not None:
         eval_data = data_lib.PretrainDataset(
             eval_seqs, tokenizer, args.batch_size,

@@ -29,11 +29,31 @@ from plantcaduceus_tpu.train.masking import MlmCollator, soft_mask_weights
 log = logging.getLogger(__name__)
 
 
+# In-memory source cap: ~2M 512-bp windows ≈ 1 GB of Python strings. The
+# materialised path exists for fixtures/fine-tune tables; corpus-scale
+# pre-training must stream (train.streaming), which is O(buffer) RSS.
+DEFAULT_MAX_SEQUENCES = 2_000_000
+
+
+def _capped(it, max_sequences: int, spec: str) -> List[str]:
+    out: List[str] = []
+    for s in it:
+        out.append(s)
+        if len(out) > max_sequences:
+            raise ValueError(
+                f"dataset {spec!r} exceeds the in-memory cap of "
+                f"{max_sequences} sequences; use the streaming path instead "
+                f"(--dataset shards:<dir-or-file>, train/streaming.py) or "
+                f"raise max_sequences explicitly")
+    return out
+
+
 def sequence_source(spec: str, split: str = "train",
                     seq_column: str = "seq",
                     window: int = 512, stride: Optional[int] = None,
                     synthetic_n: int = 4096,
-                    seed: int = 0) -> List[str]:
+                    seed: int = 0,
+                    max_sequences: int = DEFAULT_MAX_SEQUENCES) -> List[str]:
     """Resolve a dataset spec to a list of raw sequences.
 
     spec forms:
@@ -41,6 +61,9 @@ def sequence_source(spec: str, split: str = "train",
       ``path.tsv`` / ``path.parquet``   — table with a seq column
       ``path.fa[.gz]``                  — FASTA tiled into windows
       ``hf:<name-or-dir>``              — HF datasets (hub id or saved dir)
+
+    Sources larger than ``max_sequences`` are refused with a pointer at the
+    O(buffer)-memory streaming path (``shards:`` specs).
     """
     if spec == "synthetic":
         rng = np.random.default_rng(seed)
@@ -53,21 +76,23 @@ def sequence_source(spec: str, split: str = "train",
 
         df = pd.read_csv(p, sep="\t")
         col = seq_column if seq_column in df.columns else "sequences"
-        return df[col].astype(str).tolist()
+        return _capped(df[col].astype(str), max_sequences, spec)
     if p.suffix == ".parquet":
         import pandas as pd
 
         df = pd.read_parquet(p)
-        return df[seq_column].astype(str).tolist()
+        return _capped(df[seq_column].astype(str), max_sequences, spec)
     if p.name.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
         stride = stride or window
-        out = []
-        for _, seq in iter_fasta(p):
-            for i in range(0, max(1, len(seq) - window + 1), stride):
-                w = seq[i : i + window]
-                if len(w) == window:
-                    out.append(w)
-        return out
+
+        def windows():
+            for _, seq in iter_fasta(p):
+                for i in range(0, max(1, len(seq) - window + 1), stride):
+                    w = seq[i : i + window]
+                    if len(w) == window:
+                        yield w
+
+        return _capped(windows(), max_sequences, spec)
     if spec.startswith("hf:"):
         import datasets
 
@@ -78,7 +103,7 @@ def sequence_source(spec: str, split: str = "train",
             ds = datasets.load_dataset(name)
         if hasattr(ds, "keys") and split in ds:
             ds = ds[split]
-        return [str(x) for x in ds[seq_column]]
+        return _capped((str(x) for x in ds[seq_column]), max_sequences, spec)
     raise ValueError(f"unrecognised dataset spec {spec!r}")
 
 

@@ -108,47 +108,78 @@ def make_lora_train_step(
     task_type: str = "classification",
     dtype=jnp.bfloat16,
     remat: bool = True,
+    grad_accum: int = 1,
 ):
     """Build (init_state, train_step, infer_fn). Base params stay frozen and
-    replicated; only adapters + head train (sharded batch over data axes)."""
+    replicated; only adapters + head train (sharded batch over data axes).
+
+    ``grad_accum=N`` expects batches with N x the microbatch rows and runs
+    them sequentially with one optimizer update, against the global row
+    normaliser — matching the reference recipe's
+    gradient_accumulation_steps=64 default (src/lora_fine_tune.py:311-333).
+    Dropout draws a distinct rng per microbatch (fold_in by index)."""
     from plantcaduceus_tpu.parallel import mesh as meshlib
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     pspecs = meshlib.param_pspec_tree(base_params, replicated=True)
     bspec = P(("data", "fsdp"))
 
-    def local_loss(trainable, base, batch, rng):
-        adapters, head = trainable
-        # Activation-path application: matches PEFT's per-position input
-        # dropout. (With dropout == 0 this equals merged weights exactly.)
-        ctx = lora_ctx(adapters, cfg_l,
-                       dropout_rng=rng if cfg_l.dropout > 0 else None)
-        logits = heads.sequence_logits(base, head, batch["input_ids"], cfg,
-                                       dtype=dtype, remat=remat, lora=ctx)
-        local = heads.task_loss(logits, batch["labels"], task_type)
-        n_local = batch["labels"].shape[0]
-        # globally-averaged loss: weight the local mean by local/global rows
-        n_global = jax.lax.psum(n_local, ("data", "fsdp"))
-        return local * n_local / n_global, logits
-
     def local_grads(trainable, base, batch, rng):
-        (local_obj, logits), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(trainable, base, batch, rng)
+        rows = batch["labels"].shape[0]
+        if grad_accum > 1:
+            if rows % grad_accum:
+                raise ValueError(f"per-shard batch rows {rows} must divide "
+                                 f"by grad_accum={grad_accum}")
+            batch = jax.tree.map(
+                lambda a: a.reshape((grad_accum, rows // grad_accum)
+                                    + a.shape[1:]), batch)
+        # globally-averaged loss over ALL rows of the optimizer step: each
+        # microbatch's mean is weighted by its local/global row share.
+        n_global = jax.lax.psum(rows, ("data", "fsdp"))
+
+        def loss_fn(trainable, mb, sub):
+            adapters, head = trainable
+            # Activation-path application: matches PEFT's per-position input
+            # dropout. (With dropout == 0 this equals merged weights exactly.)
+            ctx = lora_ctx(adapters, cfg_l,
+                           dropout_rng=sub if cfg_l.dropout > 0 else None)
+            logits = heads.sequence_logits(base, head, mb["input_ids"], cfg,
+                                           dtype=dtype, remat=remat, lora=ctx)
+            local = heads.task_loss(logits, mb["labels"], task_type)
+            return local * mb["labels"].shape[0] / n_global
+
+        if grad_accum == 1:
+            local_obj, grads = jax.value_and_grad(loss_fn)(
+                trainable, batch, rng)
+        else:
+            def body(carry, x):
+                mb, i = x
+                obj, g = jax.value_and_grad(loss_fn)(
+                    trainable, mb, jax.random.fold_in(rng, i))
+                return (carry[0] + obj,
+                        jax.tree.map(jnp.add, carry[1], g)), None
+
+            init = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(jnp.zeros_like, trainable))
+            (local_obj, grads), _ = jax.lax.scan(
+                body, init, (batch, jnp.arange(grad_accum)))
         grads = jax.tree.map(lambda g: jax.lax.psum(g, ("data", "fsdp")), grads)
         loss = jax.lax.psum(local_obj, ("data", "fsdp"))
-        return loss, logits, grads
+        return loss, grads
 
     def grad_fn(trainable, base, batch, rng):
         return jax.shard_map(
             local_grads, mesh=mesh,
             in_specs=((P(), P()), pspecs,
                       {k: bspec for k in batch}, P()),
-            out_specs=(P(), bspec, (P(), P())),
+            out_specs=(P(), (P(), P())),
             check_vma=False,
         )(trainable, base, batch, rng)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: LoraTrainState, base, batch, rng):
-        loss, _, grads = grad_fn((state.adapters, state.head), base, batch, rng)
+        loss, grads = grad_fn((state.adapters, state.head), base, batch, rng)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, (state.adapters, state.head))
         adapters, head = optax.apply_updates((state.adapters, state.head),
@@ -190,42 +221,62 @@ def make_full_finetune_step(
     task_type: str = "classification",
     dtype=jnp.bfloat16,
     remat: bool = True,
+    grad_accum: int = 1,
 ):
     """Full fine-tuning (reference FineTuningStrategy.FULL): every backbone
     parameter trains alongside the head. Same shard_map/collective structure
     as the LoRA step, with the base params in the trainable tuple."""
     from plantcaduceus_tpu.parallel import mesh as meshlib
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     bspec = P(("data", "fsdp"))
 
     def local_grads(trainable, batch):
-        def loss_fn(trainable):
-            params, head = trainable
-            logits = heads.sequence_logits(params, head, batch["input_ids"],
-                                           cfg, dtype=dtype, remat=remat)
-            local = heads.task_loss(logits, batch["labels"], task_type)
-            n_local = batch["labels"].shape[0]
-            n_global = jax.lax.psum(n_local, ("data", "fsdp"))
-            return local * n_local / n_global, logits
+        rows = batch["labels"].shape[0]
+        if grad_accum > 1:
+            if rows % grad_accum:
+                raise ValueError(f"per-shard batch rows {rows} must divide "
+                                 f"by grad_accum={grad_accum}")
+            batch = jax.tree.map(
+                lambda a: a.reshape((grad_accum, rows // grad_accum)
+                                    + a.shape[1:]), batch)
+        n_global = jax.lax.psum(rows, ("data", "fsdp"))
 
-        (local_obj, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable)
+        def loss_fn(trainable, mb):
+            params, head = trainable
+            logits = heads.sequence_logits(params, head, mb["input_ids"],
+                                           cfg, dtype=dtype, remat=remat)
+            local = heads.task_loss(logits, mb["labels"], task_type)
+            return local * mb["labels"].shape[0] / n_global
+
+        if grad_accum == 1:
+            local_obj, grads = jax.value_and_grad(loss_fn)(trainable, batch)
+        else:
+            def body(carry, mb):
+                obj, g = jax.value_and_grad(loss_fn)(trainable, mb)
+                return (carry[0] + obj,
+                        jax.tree.map(jnp.add, carry[1], g)), None
+
+            init = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(jnp.zeros_like, trainable))
+            (local_obj, grads), _ = jax.lax.scan(body, init, batch)
         grads = jax.tree.map(lambda g: jax.lax.psum(g, ("data", "fsdp")), grads)
-        return jax.lax.psum(local_obj, ("data", "fsdp")), logits, grads
+        return jax.lax.psum(local_obj, ("data", "fsdp")), grads
 
     def grad_fn(trainable, batch):
         pspecs = jax.tree.map(lambda _: P(), trainable)
         return jax.shard_map(
             local_grads, mesh=mesh,
             in_specs=(pspecs, {k: bspec for k in batch}),
-            out_specs=(P(), bspec, pspecs),
+            out_specs=(P(), pspecs),
             check_vma=False,
         )(trainable, batch)
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
     def _step(state, batch):
         trainable = (state.adapters, state.head)  # adapters slot = params
-        loss, _, grads = grad_fn(trainable, batch)
+        loss, grads = grad_fn(trainable, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
         params, head = optax.apply_updates(trainable, updates)
         return LoraTrainState(params, head, opt_state, state.step + 1), {
@@ -293,3 +344,51 @@ def load_adapter(directory):
                        targets=tuple(meta["targets"]))
     return (tree["adapters"], tree["head"], cfg_l, meta["task_type"],
             meta["base_model_name_or_path"])
+
+
+def save_train_state(directory, state: LoraTrainState, cfg_l: LoraConfig,
+                     task_type: str, base_model: str) -> None:
+    """Adapter dir + optimizer/step state: a checkpoint-N a later run can
+    resume from with full fidelity (the reference's resume_from_checkpoint —
+    src/lora_fine_tune.py:271,349-353). The adapter part stays loadable by
+    evaluate/predict like any exported adapter."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    save_adapter(directory, state, cfg_l, task_type, base_model)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(directory).absolute() / "train_state",
+               {"opt_state": jax.device_get(state.opt_state),
+                "step": jax.device_get(jnp.asarray(state.step, jnp.int32))},
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(directory, optimizer) -> Tuple[LoraTrainState,
+                                                    LoraConfig, str, str]:
+    """Restore a full LoraTrainState (adapters + head + optimizer + step)
+    from a save_train_state checkpoint dir.
+    -> (state, LoraConfig, task_type, base_model_name)."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    adapters, head, cfg_l, task_type, base = load_adapter(directory)
+    adapters = jax.tree.map(jnp.asarray, adapters)
+    head = jax.tree.map(jnp.asarray, head)
+    ts_dir = directory / "train_state"
+    if not ts_dir.exists():
+        raise FileNotFoundError(
+            f"{directory} has no train_state/ — it is an adapter export, "
+            "not a resumable training checkpoint")
+    # The optimizer's init tree is the restore template (orbax needs the
+    # exact pytree structure to rebuild optax NamedTuple states).
+    template = {"opt_state": optimizer.init((adapters, head)),
+                "step": jnp.zeros((), jnp.int32)}
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(ts_dir, template)
+    state = LoraTrainState(adapters, head, tree["opt_state"],
+                           jnp.asarray(tree["step"], jnp.int32))
+    return state, cfg_l, task_type, base

@@ -34,31 +34,40 @@ SHARD_SUFFIXES = (".parquet", ".tsv", ".txt", ".jsonl", ".fa", ".fasta")
 
 
 def _read_shard(path: Path, seq_column: str, window: int,
-                stride: Optional[int]) -> List[str]:
+                stride: Optional[int]) -> Iterator[str]:
+    """Lazily yield the records of one shard. FASTA shards stream one
+    chromosome at a time (O(chromosome) RSS, never O(file)) so a single
+    multi-GB genome file works as a shard; table shards are loaded whole —
+    the shard size IS the memory granularity there."""
+    name = path.name
     if path.suffix == ".parquet":
         import pandas as pd
 
-        return pd.read_parquet(path)[seq_column].astype(str).tolist()
+        yield from pd.read_parquet(path)[seq_column].astype(str)
+        return
     if path.suffix in (".tsv", ".txt"):
         import pandas as pd
 
         df = pd.read_csv(path, sep="\t")
         col = seq_column if seq_column in df.columns else df.columns[0]
-        return df[col].astype(str).tolist()
+        yield from df[col].astype(str)
+        return
     if path.suffix == ".jsonl":
         import json
 
         with open(path) as fh:
-            return [json.loads(line)[seq_column] for line in fh if line.strip()]
-    if path.suffix in (".fa", ".fasta"):
+            for line in fh:
+                if line.strip():
+                    yield json.loads(line)[seq_column]
+        return
+    if name.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
         stride = stride or window
-        out = []
         for _, seq in iter_fasta(path):
             for i in range(0, max(1, len(seq) - window + 1), stride):
                 w = seq[i : i + window]
                 if len(w) == window:
-                    out.append(w)
-        return out
+                    yield w
+        return
     raise ValueError(f"unsupported shard type {path.suffix}")
 
 
@@ -79,12 +88,35 @@ class StreamingPretrainDataset:
         seed: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        eval_shards: int = 0,
+        split: str = "train",
     ):
-        self.shards = sorted(
-            p for p in Path(shard_dir).iterdir()
-            if p.suffix in SHARD_SUFFIXES)
-        if not self.shards:
+        """``eval_shards=K`` holds out the LAST K shards (sorted order) as
+        the eval split; ``split`` selects which side this instance serves —
+        the streaming analogue of the reference Trainer's train/validation
+        datasets (HF_pre_train.py eval_strategy). ``shard_dir`` may also be
+        a single shard FILE (e.g. one multi-GB genome FASTA): it streams
+        windows at O(chromosome) memory."""
+        root = Path(shard_dir)
+        if root.is_file():
+            shards = [root]
+        else:
+            shards = sorted(
+                p for p in root.iterdir()
+                if p.suffix in SHARD_SUFFIXES
+                or p.name.endswith((".fa.gz", ".fasta.gz")))
+        if not shards:
             raise FileNotFoundError(f"no shard files under {shard_dir}")
+        if eval_shards:
+            if eval_shards >= len(shards):
+                raise ValueError(
+                    f"eval_shards={eval_shards} would leave no training "
+                    f"shards (corpus has {len(shards)})")
+            shards = (shards[:-eval_shards] if split == "train"
+                      else shards[-eval_shards:])
+        elif split != "train":
+            raise ValueError("split='eval' requires eval_shards > 0")
+        self.shards = shards
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.seq_column = seq_column
@@ -150,6 +182,32 @@ class StreamingPretrainDataset:
 
     def __iter__(self) -> Iterator[dict]:
         return self.iter_from(0)
+
+    def eval_batches(self, n: Optional[int] = None) -> Iterator[dict]:
+        """Deterministic pass over this split: shards in sorted order, no
+        shuffle, collator rng keyed by batch index. Every host reads the
+        SAME records (no striping): in multi-host training each host feeds
+        identical local eval batches, so the mesh collectives inside
+        eval_step always line up — eval is bounded by ``n`` batches, so the
+        redundancy is cheap and the metrics are exact averages."""
+        pending: List[str] = []
+        count = 0
+        for shard in self.shards:
+            for seq in _read_shard(shard, self.seq_column, self.window,
+                                   self.stride):
+                if len(seq) != self.window:
+                    continue
+                pending.append(seq)
+                if len(pending) == self.batch_size:
+                    if n is not None and count >= n:
+                        return
+                    ids = self.tokenizer.encode_batch(pending)
+                    w = soft_mask_weights(pending, self.soft_masked_weight)
+                    yield self.collator(
+                        ids, loss_weights=w,
+                        rng=np.random.default_rng([self.seed + 2, count]))
+                    count += 1
+                    pending = []
 
 
 def concat_chunks(sequences, window: int, tokenizer: DnaTokenizer,

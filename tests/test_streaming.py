@@ -81,3 +81,59 @@ def test_streaming_iter_from_reproduces_stream(shard_dir):
         got = next(tail)
         for k in want:
             np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_eval_shards_holdout(shard_dir):
+    """--eval-shards semantics: last K shards form a disjoint eval split
+    with a deterministic eval_batches pass."""
+    d, seqs = shard_dir
+    tok = DnaTokenizer()
+    tr = StreamingPretrainDataset(d, tok, 16, seq_column="seq", window=64,
+                                  eval_shards=1, split="train")
+    ev = StreamingPretrainDataset(d, tok, 16, seq_column="seq", window=64,
+                                  eval_shards=1, split="eval",
+                                  soft_masked_weight=0.0)
+    assert len(tr.shards) == 2 and len(ev.shards) == 1
+    assert not set(tr.shards) & set(ev.shards)
+    b1 = list(ev.eval_batches(3))
+    b2 = list(ev.eval_batches(3))
+    assert len(b1) == 3
+    for x, y in zip(b1, b2):  # deterministic pass
+        np.testing.assert_array_equal(x["input_ids"], y["input_ids"])
+        np.testing.assert_array_equal(x["labels"], y["labels"])
+    # eval rows come from the held-out shard only (last 100 seqs)
+    held = {s.upper() for s in seqs[200:]}
+    tok_dec = tok
+    for b in b1:
+        for row, lab in zip(b["input_ids"], b["labels"]):
+            orig = np.where(lab != -100, lab, row)
+            assert tok_dec.decode(orig).upper() in held
+
+    with pytest.raises(ValueError):
+        StreamingPretrainDataset(d, tok, 16, eval_shards=3, split="train")
+    with pytest.raises(ValueError):
+        StreamingPretrainDataset(d, tok, 16, split="eval")
+
+
+def test_single_file_fasta_shard(tmp_path, rng):
+    """A single FASTA file acts as a shard source (the auto-streaming path
+    for corpus-scale genomes), streamed per chromosome."""
+    chroms = {f"chr{i}": "".join(rng.choice(list("ACGT"), 512))
+              for i in range(3)}
+    fa = tmp_path / "genome.fa"
+    fa.write_text("".join(f">{n}\n{s}\n" for n, s in chroms.items()))
+    ds = StreamingPretrainDataset(fa, DnaTokenizer(), batch_size=8,
+                                  window=64, seed=1)
+    b = next(iter(ds))
+    assert b["input_ids"].shape == (8, 64)
+
+
+def test_sequence_source_cap(tmp_path, rng):
+    from plantcaduceus_tpu.train.data import sequence_source
+
+    fa = tmp_path / "big.fa"
+    fa.write_text(">c1\n" + "ACGT" * 4096 + "\n")
+    with pytest.raises(ValueError, match="streaming"):
+        sequence_source(str(fa), window=64, max_sequences=10)
+    # under the cap: works as before
+    assert len(sequence_source(str(fa), window=64, max_sequences=1000)) == 256
