@@ -173,21 +173,11 @@ def _expected_shapes(cfg: CaduceusConfig, gio: int, has_lm_head: bool):
     return want
 
 
-def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
-                  dtype=jnp.float32, strict: bool = True):
-    """Build the framework parameter pytree from an HF checkpoint dir.
-
-    ``strict`` (default) makes the import an exact bijection proof: after
-    mapping, (a) every state-dict tensor must have been consumed (modulo
-    known torch buffers) and (b) every target leaf must match the shape the
-    config implies. A real released checkpoint therefore either maps
-    correctly or fails loudly naming the offending key — never scores
-    garbage (the silent-failure hazard of SURVEY.md §7.3 and the reference's
-    trust_remote_code load at src/zero_shot_score.py:91)."""
-    if cfg is None:
-        cfg = load_hf_config(model_dir)
-    sd = load_state_dict(model_dir)
-    r = _Resolver(sd)
+def _build_pytree(r: "_Resolver", sd: Dict[str, np.ndarray],
+                  cfg: CaduceusConfig, dtype):
+    """The mapping itself: resolver + state dict -> framework pytree.
+    Shared by import_params (which adds the strict bijection proof) and
+    audit (which reports forensics instead of raising)."""
     G = cfg.n_directions
 
     def layer(i: int):
@@ -265,6 +255,26 @@ def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
     lm = r.maybe("lm_head", "weight")
     if lm is not None and not np.array_equal(lm, np.asarray(sd[emb_key], np.float32)):
         params["lm_head"] = jnp.asarray(lm, dtype)
+    return params
+
+
+def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
+                  dtype=jnp.float32, strict: bool = True):
+    """Build the framework parameter pytree from an HF checkpoint dir.
+
+    ``strict`` (default) makes the import an exact bijection proof: after
+    mapping, (a) every state-dict tensor must have been consumed (modulo
+    known torch buffers) and (b) every target leaf must match the shape the
+    config implies. A real released checkpoint therefore either maps
+    correctly or fails loudly naming the offending key — never scores
+    garbage (the silent-failure hazard of SURVEY.md §7.3 and the reference's
+    trust_remote_code load at src/zero_shot_score.py:91)."""
+    if cfg is None:
+        cfg = load_hf_config(model_dir)
+    sd = load_state_dict(model_dir)
+    r = _Resolver(sd)
+    G = cfg.n_directions
+    params = _build_pytree(r, sd, cfg, dtype)
 
     if strict:
         stray = [k for k in r.unconsumed() if not _IGNORABLE.search(k)]
@@ -291,3 +301,65 @@ def import_params(model_dir, cfg: Optional[CaduceusConfig] = None,
                 "config (transposed/misplaced weights?):\n  "
                 + "\n  ".join(errs))
     return params, cfg
+
+
+def audit(model_dir, cfg: Optional[CaduceusConfig] = None) -> dict:
+    """Dry-audit an HF checkpoint dir: run the full key mapping and report
+    forensics instead of raising.
+
+    Returns a dict with the complete consumed/unconsumed key ledger and the
+    mapped-vs-expected shape table, so a layout mismatch in a newly released
+    checkpoint is diagnosable in one command (``tools/parity_check.py
+    --audit <dir>``) rather than by bisecting strict-import exceptions.
+    Never builds device arrays beyond what the mapping itself stacks, and
+    never raises on mapping/shape problems — they land in ``"error"`` /
+    ``"shape_mismatches"``."""
+    report: dict = {"model_dir": str(model_dir)}
+    try:
+        if cfg is None:
+            cfg = load_hf_config(model_dir)
+        report["config"] = {
+            "d_model": cfg.d_model, "n_layer": cfg.n_layer,
+            "vocab_size": cfg.vocab_size, "d_state": cfg.d_state,
+            "d_conv": cfg.d_conv, "expand": cfg.expand,
+            "n_directions": cfg.n_directions, "rcps": cfg.rcps,
+        }
+        sd = load_state_dict(model_dir)
+    except Exception as e:  # unreadable dir: report, don't raise
+        report["error"] = f"{type(e).__name__}: {e}"
+        report["ok"] = False
+        return report
+    report["n_tensors"] = len(sd)
+    r = _Resolver(sd)
+    params = None
+    try:
+        params = _build_pytree(r, sd, cfg, jnp.float32)
+    except Exception as e:
+        report["error"] = f"{type(e).__name__}: {e}"
+    report["consumed"] = {k: tuple(np.asarray(sd[k]).shape)
+                          for k in sorted(r.consumed)}
+    unconsumed = r.unconsumed()
+    report["ignored_buffers"] = sorted(
+        k for k in unconsumed if _IGNORABLE.search(k))
+    report["stray"] = {k: tuple(np.asarray(sd[k]).shape)
+                       for k in sorted(unconsumed)
+                       if not _IGNORABLE.search(k)}
+    if params is not None:
+        gio = int(params["blocks"]["in_proj_x"].shape[1])
+        report["tied_in_out_proj"] = gio == 1
+        want = _expected_shapes(cfg, gio, "lm_head" in params)
+        table, mismatches = {}, []
+        for name, leaf, expect in (
+                [(k, params[k], want[k]) for k in want if k != "blocks"]
+                + [(f"blocks.{k}", params["blocks"][k], want["blocks"][k])
+                   for k in want["blocks"]]):
+            got = tuple(leaf.shape)
+            table[name] = {"got": got, "want": expect}
+            if got != expect:
+                mismatches.append(name)
+        report["shapes"] = table
+        report["shape_mismatches"] = mismatches
+        report["ok"] = not mismatches and not report["stray"]
+    else:
+        report["ok"] = False
+    return report

@@ -213,6 +213,45 @@ def test_strict_rejects_wrong_config_width(tmp_path, rng):
         hf_import.import_params(path)
 
 
+def test_audit_clean_checkpoint(hf_dir):
+    """Dry audit of a clean checkpoint: ok=True, full ledger, no strays."""
+    path, cfg, sd = hf_dir
+    report = hf_import.audit(path)
+    assert report["ok"] is True
+    assert report["n_tensors"] == len(sd)
+    assert report["stray"] == {}
+    assert report["shape_mismatches"] == []
+    assert report["tied_in_out_proj"] is True
+    # every non-buffer state-dict tensor appears in the consumed ledger
+    assert set(report["consumed"]) == set(sd)
+    # shape table covers the whole pytree incl. stacked block leaves
+    assert report["shapes"]["blocks.A_log"]["got"] == (
+        cfg.n_layer, 2, cfg.d_inner, cfg.d_state)
+
+
+def test_audit_reports_instead_of_raising(tmp_path, rng):
+    """Stray + renamed tensors land in the report; audit never raises."""
+    cfg = CaduceusConfig(**TINY)
+    sd = make_state_dict(cfg, rng)
+    sd["caduceus.backbone.layers.0.mixer.submodule.mystery.weight"] = (
+        np.zeros((3, 3), np.float32))
+    for dir_ in ("mamba_fwd", "mamba_rev"):
+        m = f"caduceus.backbone.layers.1.mixer.submodule.{dir_}"
+        sd[f"{m}.dt_projection.weight"] = sd.pop(f"{m}.dt_proj.weight")
+    report = hf_import.audit(_save(tmp_path, sd, cfg))
+    assert report["ok"] is False
+    # the mapping failure is captured, naming the missing site
+    assert "dt_proj" in report.get("error", "")
+    # consumed/unconsumed ledgers still emitted for forensics
+    assert any("mystery" in k for k in report["stray"])
+    assert report["consumed"]  # layer 0 mapped before the failure
+
+
+def test_audit_unreadable_dir(tmp_path):
+    report = hf_import.audit(tmp_path / "nope")
+    assert report["ok"] is False and "error" in report
+
+
 def test_export_import_roundtrip(tmp_path, rng):
     """export_hf_dir -> import_params must reproduce params and forward."""
     import jax

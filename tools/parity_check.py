@@ -8,6 +8,9 @@ Usage (real-checkpoint gate — strict import + score, then optional compare):
     python tools/parity_check.py --import <hf_ckpt_dir> \
         [--table examples.tsv] [--out ours.tsv] [--batch 128] [theirs.tsv]
 
+Usage (dry audit — full key/shape forensics, never builds the model):
+    python tools/parity_check.py --audit <hf_ckpt_dir>
+
 ``--import`` runs compat.hf_import.import_params(strict=True) — the
 checkpoint either maps exactly (every tensor consumed, every shape right) or
 the command fails naming the offending keys — then scores ``--table``
@@ -60,6 +63,11 @@ def main():
     ap.add_argument("--import", dest="import_dir", default=None,
                     help="HF checkpoint dir: strict-import, score --table, "
                          "write --out, then compare if a reference TSV given")
+    ap.add_argument("--audit", dest="audit_dir", default=None,
+                    help="HF checkpoint dir: print the full consumed/"
+                         "unconsumed key map and mapped-vs-expected shape "
+                         "table without building the model; exit 1 if the "
+                         "mapping is not a clean bijection")
     ap.add_argument("--table", default=REF_FIXTURE)
     ap.add_argument("--out", default="parity_scores.tsv")
     ap.add_argument("--batch", type=int, default=128)
@@ -67,6 +75,18 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-3)
     ap.add_argument("--atol", type=float, default=1e-4)
     args = ap.parse_args()
+
+    if args.audit_dir:
+        import json as _json
+
+        from plantcaduceus_tpu.utils.platform import maybe_force_platform
+
+        maybe_force_platform()
+        from plantcaduceus_tpu.compat.hf_import import audit
+
+        report = audit(args.audit_dir)
+        print(_json.dumps(report, indent=1, default=str))
+        sys.exit(0 if report.get("ok") else 1)
 
     if args.import_dir:
         if args.ours and not args.theirs:  # sole positional = reference TSV
