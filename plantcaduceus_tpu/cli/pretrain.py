@@ -88,6 +88,11 @@ def parse_args(argv=None):
                    help="jax.profiler trace dir (traces steps 10-13)")
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--wandb-run-name", default=None)
+    p.add_argument("--push-to-hub", default=None, metavar="REPO_ID",
+                   help="after the final export, upload to this HF hub repo "
+                        "(reference HF_pre_train.py:545-548; needs "
+                        "huggingface_hub + network). A model card README.md "
+                        "is always written either way.")
     return p.parse_args(argv)
 
 
@@ -234,11 +239,34 @@ def main(argv=None):
         ckpt=ckpt, wandb_run=wandb_run, tokens_per_step=tokens_per_step,
         profile_dir=args.profile_dir, mesh=mesh)
 
-    # Final standalone export for the inference CLIs.
+    # Final standalone export for the inference CLIs, with the model card
+    # the reference emits via trainer.create_model_card / push_to_hub
+    # (src/HF_pre_train.py:535-548).
     params_host = jax.device_get(state.params)
     if jax.process_index() == 0:
-        ckpt_lib.export_params(f"{args.output_dir}/final", params_host, cfg)
-        logging.info("Exported final params to %s/final", args.output_dir)
+        from plantcaduceus_tpu.compat import model_card as card_lib
+
+        final_dir = f"{args.output_dir}/final"
+        ckpt_lib.export_params(final_dir, params_host, cfg)
+        final_metrics = None
+        if eval_data is not None and args.eval_steps:
+            from plantcaduceus_tpu.parallel.mesh import shard_batch
+
+            final_metrics = loop_lib.evaluate(
+                state, eval_step, eval_data.eval_batches(), max_batches=20,
+                place=lambda b: shard_batch(b, mesh))
+            logging.info("final eval: %s", final_metrics)
+        import numpy as _np
+
+        n_params = sum(int(_np.prod(_np.shape(x)))
+                       for x in jax.tree.leaves(params_host))
+        card_lib.write_model_card(
+            final_dir, cfg, tasks="fill-mask", dataset=args.dataset,
+            metrics=card_lib._final_metrics_from_log(final_metrics),
+            n_params=n_params)
+        logging.info("Exported final params + model card to %s", final_dir)
+        if args.push_to_hub:
+            card_lib.push_to_hub(final_dir, args.push_to_hub)
 
 
 if __name__ == "__main__":
