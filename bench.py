@@ -1,11 +1,18 @@
-"""Round benchmark: zero-shot scoring throughput across the model ladder.
+"""Round benchmark: inference ladder + training lane + scaling artifact.
 
 Mirrors the reference's headline benchmark — wall-clock to zero-shot score
 masked 512-bp windows (reference README.md:331-385, 5,000 SNPs per config) —
 on the one real TPU chip, for every size the reference publishes numbers
-for (l20/l24/l28/l32), the SSD (Mamba-2) variants, and PlantCAD2-Small at
-8,192 bp. Before timing, runs tools/tpu_selftest.py so every recorded BENCH
-run also certifies compiled-on-chip kernel numerics.
+for (l20/l24/l28/l32), the SSD (Mamba-2) variants, and the full PlantCAD2
+family at 8,192 bp (docs/PlantCAD2-overview.md:17-21). Before timing, runs
+tools/tpu_selftest.py so every recorded BENCH run also certifies
+compiled-on-chip kernel numerics.
+
+Also times the TRAINING path (s/step, tok/s, MFU at the reference recipe's
+per-device batch 32 with remat, plus one LoRA-with-accum config) and
+regression-guards it against the best previously recorded numbers; and runs
+tools/bench_scaling.py over the virtual CPU mesh in a subprocess, recording
+SCALING_r{N}.json next to the driver's BENCH_r{N}.json.
 
 Prints one JSON line per config plus the final summary line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -13,22 +20,28 @@ vs_baseline per config is measured against the reference's best published
 GPU (H100, BASELINE.md throughput table); the headline stays l20.
 """
 
+import glob
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 # H100 windows/s from BASELINE.md (5000 / seconds). SSD variants are held to
-# the same-size mamba1 baseline; pc2-small has no published reference number.
+# the same-size mamba1 baseline; the PlantCAD2 family has no published
+# reference throughput (tok/s reported instead, vs the 512-bp ladder).
 H100 = {"l20": 312.5, "l24": 238.1, "l28": 161.3, "l32": 106.4}
 
 # (model, n_windows, batch) — window counts capped so the big configs keep
 # total bench runtime bounded; throughput is windows/dt so the cap only
-# widens the noise band, it doesn't bias the number.
+# widens the noise band, it doesn't bias the number. pc2 sizes get >=256
+# windows (>=30 s of work) so the number is stable, not a noise-band read.
 LADDER = [
     ("l20", 5000, 128),
     ("l24", 3000, 128),
@@ -36,8 +49,32 @@ LADDER = [
     ("l32", 1500, 128),
     ("l20-ssd", 5000, 128),
     ("l32-ssd", 1500, 128),
-    ("pc2-small", 128, 16),
+    ("pc2-small", 1024, 32),
+    ("pc2-medium", 256, 16),
+    ("pc2-large", 128, 8),
 ]
+
+# Training-lane anchors: best previously recorded tok/s (DESIGN.md §5 arc,
+# r2: l20 0.33 s/step = 49.5k tok/s at batch 32 remat). A new number below
+# 85% of its anchor is a regression and fails loudly in the summary.
+TRAIN_ANCHORS_PATH = os.path.join(REPO, "tests", "goldens",
+                                  "train_bench_anchors.json")
+TRAIN_LANE = [
+    # (name, model, batch, window, grad_accum)
+    ("l20", "l20", 32, 512, 1),
+    ("l32", "l32", 32, 512, 1),
+    ("pc2-small", "pc2-small", 8, 8192, 1),
+    ("lora-l20-accum4", "l20", 8, 512, 4),
+]
+
+# bf16 peak FLOPs/s per chip by device kind (public TPU specs); MFU is
+# reported only when the kind is recognised.
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12, "TPU v6e": 918e12,
+}
 
 
 def measure(model: str, n_windows: int, batch: int) -> float:
@@ -68,6 +105,143 @@ def measure(model: str, n_windows: int, batch: int) -> float:
     return n_windows / dt
 
 
+def _param_count(tree) -> int:
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def measure_train(model: str, batch: int, window: int,
+                  grad_accum: int) -> dict:
+    """One training config: s/step, tok/s, MFU. grad_accum>1 routes through
+    the LoRA step (the reference's accumulation-heavy recipe);
+    otherwise the full MLM pre-train step at the reference's batch 32."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from plantcaduceus_tpu.io.tokenizer import DnaTokenizer
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+    from plantcaduceus_tpu.parallel import mesh as meshlib
+    from plantcaduceus_tpu.train import step as step_lib
+    from plantcaduceus_tpu.train.masking import MlmCollator
+
+    cfg = CaduceusConfig.preset(model)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    n_params = _param_count(params)
+    mesh = meshlib.make_mesh()
+    tok = DnaTokenizer()
+    rng = np.random.default_rng(0)
+    rows = batch * grad_accum
+    raw = rng.integers(7, 11, size=(rows, window)).astype(np.int32)
+    b = MlmCollator(tok, seed=0)(raw)
+    b["loss_weights"] = np.ones_like(raw, np.float32)
+    batch_dev = {k: jnp.asarray(v) for k, v in b.items()}
+
+    lora = grad_accum > 1
+    if lora:
+        from plantcaduceus_tpu.train import lora as lora_lib
+
+        cfg_l = lora_lib.LoraConfig()
+        opt = optax.adamw(1e-3)
+        train_step, _ = lora_lib.make_lora_train_step(
+            cfg, cfg_l, opt, mesh, params, dtype=jnp.bfloat16,
+            grad_accum=grad_accum)
+        state = lora_lib.init_lora_state(jax.random.PRNGKey(1), params, cfg,
+                                         cfg_l, 2, opt)
+        base = meshlib.shard_params(params, mesh, replicated=True)
+        lbatch = {"input_ids": batch_dev["input_ids"],
+                  "labels": jnp.asarray(rng.integers(0, 2, rows))}
+        key = jax.random.PRNGKey(2)
+
+        def one_step(i):
+            nonlocal state
+            state, m = train_step(state, base, lbatch,
+                                  jax.random.fold_in(key, i))
+            return m
+    else:
+        opt = optax.adamw(2e-4)
+        init_state, train_step, _ = step_lib.make_train_step(
+            cfg, opt, mesh, params, dtype=jnp.bfloat16, remat=True,
+            grad_accum=grad_accum)
+        state = init_state(params)
+
+        def one_step(i):
+            nonlocal state
+            state, m = train_step(state, batch_dev)
+            return m
+
+    # Compile, then warm up PAST the remote runtime's slow-start: the first
+    # ~12 steps on a fresh donated-state chain run 3-10x slower through the
+    # relay before settling (measured: l20 0.89 s/step over the first 16 vs
+    # 0.29 steady-state). Timing must start at steady state.
+    n_warm, n_timed = 12, 12
+    for i in range(n_warm):
+        m = one_step(i)
+        if (i + 1) % 4 == 0:
+            float(m["loss"])
+    float(m["loss"])
+    t0 = time.time()
+    for i in range(n_warm, n_warm + n_timed):
+        m = one_step(i)
+        if (i + 1) % 4 == 0:  # bounded run-ahead without per-step relay cost
+            float(m["loss"])
+    float(m["loss"])
+    dt = (time.time() - t0) / n_timed
+
+    tokens = rows * window
+    toks_per_s = tokens / dt
+    # Training FLOPs ~ 6 * params * tokens (fwd 2x + bwd 4x matmul FLOPs);
+    # for LoRA only ~2/6 of that is backward through frozen weights — keep
+    # the standard 6x as the conventional upper-bound estimate.
+    import jax as _jax
+
+    kind = _jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+    mfu = (6.0 * n_params * toks_per_s / peak) if peak else None
+    return {"s_per_step": round(dt, 4), "tokens_per_s": round(toks_per_s),
+            "mfu": round(mfu, 4) if mfu else None,
+            "params": n_params}
+
+
+def run_scaling_artifact() -> None:
+    """Emit SCALING_r{N}.json (the next round index, matching the driver's
+    BENCH_r{N} numbering) from a CPU-virtual-mesh subprocess: the logic-level
+    proxy for the >=85% 1->N scaling north star until a real pod exists."""
+    rounds = [int(m.group(1)) for f in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
+    n = (max(rounds) + 1) if rounds else 1
+    out_path = os.path.join(REPO, f"SCALING_r{n:02d}.json")
+    env = dict(os.environ, PCAD_PLATFORM="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8").strip())
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"),
+             "--model", "l20", "--d-model", "128", "--n-layer", "2",
+             "--windows", "256", "--batch", "16", "--devices", "1", "8"],
+            env=env, capture_output=True, text=True, timeout=1200)
+        lines = [json.loads(ln) for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        payload = {"mode": "virtual-cpu-mesh proxy (l20 geometry, reduced "
+                           "size for round-flow runtime). All virtual "
+                           "devices share one physical CPU, so ideal weak-"
+                           "scaling efficiency is 1/N here; "
+                           "vs_shared_core_ideal is the logic-overhead "
+                           "proxy, raw efficiency is the real-pod metric.",
+                   "results": lines, "rc": proc.returncode}
+    except Exception as e:  # never fail the bench over the side artifact
+        payload = {"error": str(e)}
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    last = (payload.get("results") or [{}])[-1]
+    print(json.dumps({"scaling_artifact": os.path.basename(out_path),
+                      **{k: last[k] for k in ("scaling_efficiency",
+                                              "vs_shared_core_ideal")
+                         if k in last}}), flush=True)
+
+
 def main():
     from tools.tpu_selftest import run as selftest
 
@@ -75,15 +249,56 @@ def main():
 
     results = {}
     for model, n, batch in LADDER:
-        wps = measure(model, n, batch)
+        window = 8192 if model.startswith("pc2") else 512
+        try:
+            wps = measure(model, n, batch)
+        except Exception as e:
+            print(json.dumps({"model": model, "error": str(e)[:200]}),
+                  flush=True)
+            continue
         results[model] = wps
         base = H100.get(model.replace("-ssd", ""))
         print(json.dumps({
             "model": model,
             "windows_per_s": round(wps, 1),
-            "window_bp": 8192 if model.startswith("pc2") else 512,
+            "window_bp": window,
+            "tokens_per_s": round(wps * window),
             "vs_h100": round(wps / base, 3) if base else None,
         }), flush=True)
+
+    # --- training lane -----------------------------------------------------
+    try:
+        anchors = json.load(open(TRAIN_ANCHORS_PATH))
+    except Exception:
+        anchors = {}
+    train_results, regressions = {}, []
+    for name, model, batch, window, accum in TRAIN_LANE:
+        try:
+            r = measure_train(model, batch, window, accum)
+        except Exception as e:
+            print(json.dumps({"train": name, "error": str(e)[:200]}),
+                  flush=True)
+            continue
+        train_results[name] = r
+        anchor = anchors.get(name)
+        if anchor and r["tokens_per_s"] < 0.85 * anchor:
+            regressions.append(
+                f"{name}: {r['tokens_per_s']} tok/s < 85% of anchor {anchor}")
+        print(json.dumps({"train": name, **r,
+                          "anchor_tokens_per_s": anchor}), flush=True)
+    if regressions:
+        print(json.dumps({"TRAIN_REGRESSION": regressions}), flush=True)
+    # Ratchet anchors up (never down) so future rounds are guarded by the
+    # best recorded numbers.
+    new_anchors = dict(anchors)
+    for name, r in train_results.items():
+        new_anchors[name] = max(anchors.get(name, 0), r["tokens_per_s"])
+    if new_anchors != anchors:
+        os.makedirs(os.path.dirname(TRAIN_ANCHORS_PATH), exist_ok=True)
+        with open(TRAIN_ANCHORS_PATH, "w") as fh:
+            json.dump(new_anchors, fh, indent=1)
+
+    run_scaling_artifact()
 
     wps = results["l20"]
     print(json.dumps({
@@ -93,8 +308,14 @@ def main():
         "vs_baseline": round(wps / H100["l20"], 3),
         "selftest": "pass" if numerics_ok else "FAIL",
         "ladder_vs_h100": {m: round(results[m] / H100[m.replace("-ssd", "")], 3)
-                           for m, _, _ in LADDER
+                           for m in results
                            if m.replace("-ssd", "") in H100},
+        "pc2_tokens_per_s": {m: round(results[m] * 8192)
+                             for m in results if m.startswith("pc2")},
+        "train": {k: {"s_per_step": v["s_per_step"],
+                      "tokens_per_s": v["tokens_per_s"], "mfu": v["mfu"]}
+                  for k, v in train_results.items()},
+        "train_regressions": regressions or None,
     }))
 
 

@@ -93,11 +93,20 @@ def main():
         if n == counts[0]:
             base = wps / n
         eff = wps / (n * base) if base else None
-        print(json.dumps({
+        row = {
             "model": args.model, "devices": n,
             "windows_per_s": round(wps, 1),
             "scaling_efficiency": round(eff, 3) if eff else None,
-        }), flush=True)
+        }
+        if jax.devices()[0].platform == "cpu" and eff is not None:
+            # All virtual devices share one physical CPU: total FLOPs/s is
+            # fixed, so ideal weak-scaling efficiency here is 1/N, not 1.
+            # vs_shared_core_ideal (= wps_N / wps_1 on the same total work)
+            # is the logic-level overhead proxy; on a real pod the raw
+            # scaling_efficiency is the >=85% deliverable.
+            row["shared_core_ideal"] = round(1 / n, 3)
+            row["vs_shared_core_ideal"] = round(eff * n, 3)
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
