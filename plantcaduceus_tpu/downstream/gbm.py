@@ -53,6 +53,11 @@ class GbmClassifier:
             raise ValueError(f"unknown backend {backend!r}")
 
     def fit(self, X, y, eval_set=None):
+        if self.backend == "xgb_json":
+            raise RuntimeError(
+                "this model came from an xgboost JSON artifact via the "
+                "numpy evaluator — inference-only; construct a fresh "
+                "GbmClassifier to train")
         if self.backend == "xgboost":
             self._model.fit(X, y, eval_set=eval_set or None, verbose=False)
         else:
@@ -64,6 +69,9 @@ class GbmClassifier:
 
     def save(self, path) -> None:
         path = Path(path)
+        if self.backend == "xgb_json":
+            raise RuntimeError("xgb_json models are read-only artifacts; "
+                               "the source JSON file IS the saved model")
         if self.backend == "xgboost":
             self._model.save_model(str(path))
         else:
@@ -84,8 +92,15 @@ class GbmClassifier:
         # xgboost JSON/UBJ artifact (incl. the reference's released
         # classifiers/*.json files)
         if not HAVE_XGBOOST:
-            raise ImportError(
-                f"{path} is an xgboost model but xgboost is not installed")
+            # No wheel: the reference-released JSON classifiers still load
+            # and predict through the from-scratch numpy evaluator
+            # (downstream/xgb_json.py). Inference-only — fit() would need
+            # a real backend.
+            from plantcaduceus_tpu.downstream.xgb_json import XgbJsonPredictor
+
+            obj.backend = "xgb_json"
+            obj._model = XgbJsonPredictor.load(path)
+            return obj
         obj.backend = "xgboost"
         obj._model = _xgb.XGBClassifier()
         obj._model.load_model(str(path))
