@@ -49,11 +49,7 @@ def parse_args(argv=None):
                         "length (long-window latency; needs the pallas "
                         "scan path)")
     p.add_argument("-dtype", dest="dtype", default="bfloat16",
-                   choices=["bfloat16", "float32", "int8"],
-                   help="int8: quantize the mixer projections "
-                        "(experimental; measured NOT faster than bfloat16 "
-                        "on v5e — docs/DESIGN.md §5; scores shift by "
-                        "quantization noise, rank-stable)")
+                   choices=["bfloat16", "float32"])
     p.add_argument("-no-progress", action="store_true", dest="no_progress")
     args = p.parse_args(argv)
     if args.input_vcf and not args.input_fasta:
@@ -79,7 +75,6 @@ def main(argv=None):
         params, cfg, mesh=mesh,
         dtype=jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
         batch_size=args.batch_size,
-        quantize=args.dtype == "int8",
     )
     progress = not args.no_progress
 

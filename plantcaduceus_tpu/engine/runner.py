@@ -31,24 +31,11 @@ class InferenceRunner:
         mesh: Optional[Mesh] = None,
         dtype=jnp.bfloat16,
         batch_size: int = 128,
-        quantize: bool = False,
     ):
         self.cfg = cfg
         self.dtype = dtype
         self.batch_size = batch_size
         self.mesh = mesh if mesh is not None else meshlib.make_mesh()
-        if quantize:
-            if cfg.ssm_variant != "mamba1":
-                raise NotImplementedError(
-                    "int8 projections are wired for the mamba1 mixer only")
-            # int8 projections (ops/quant.py): the big in/z/out matmuls run
-            # on the int8 MXU (~1.5x bf16 at l28/l32 shapes); scan kernels
-            # and everything else keep the requested dtype. Opt-in — scores
-            # shift by quantization noise (rank-stable; see test_quant.py).
-            from plantcaduceus_tpu.ops.quant import quantize_block_projections
-
-            params = dict(params)
-            params["blocks"] = quantize_block_projections(params["blocks"])
         self.params = meshlib.shard_params(params, self.mesh, replicated=True)
         sp_shards = self.mesh.shape.get("seq", 1)
         self._sp = sp_shards > 1

@@ -371,11 +371,7 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
     if tp_axis is not None:
         x = _tp_boundary(x, tp_axis)
 
-    # int8-projection mode: engine.runner swaps the big projection leaves
-    # for (q8, scale) pairs (ops/quant.py); the branch is static (pytree
-    # structure), so one compiled forward serves each mode.
-    quant = "in_proj_x_q8" in p
-    in_x = p["in_proj_x_q8"] if quant else p["in_proj_x"]
+    in_x = p["in_proj_x"]
 
     impl = cfg.scan_impl
     if impl == "auto":
@@ -430,26 +426,6 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                      p["x_proj_dt"], p["x_proj_B"], p["x_proj_C"],
                      p["dt_proj_w"], p["dt_proj_b"], -jnp.exp(p["A_log"]),
                      p["D"])
-        if quant:
-            # int8 projections (1.5x the bf16 MXU at these shapes); the
-            # scan kernel itself stays bf16/f32 — only the three big
-            # matmuls quantize, with dynamic per-tensor activation scales.
-            # x quantizes ONCE and feeds a single fused [d, 2*di] int8 dot
-            # for the x/z halves (the activation-quant passes, not the
-            # matmuls, are the overhead that decides whether int8 wins).
-            from plantcaduceus_tpu.ops.quant import int8_dense
-
-            di = p["in_proj_x_q8"].shape[-1]
-            w8 = jnp.concatenate([p["in_proj_x_q8"][0],
-                                  p["in_proj_z_q8"][0]], axis=-1)
-            sw = jnp.concatenate([p["in_proj_x_scale"][0],
-                                  p["in_proj_z_scale"][0]], axis=-1)
-            xz = int8_dense(x, w8, sw, cdtype)
-            y_gated = bimamba_mixer_fused(xz[..., :di], xz[..., di:],
-                                          *scan_args)
-            return _maybe_psum(
-                int8_dense(y_gated, p["out_proj_q8"][0],
-                           p["out_proj_scale"][0], cdtype), tp_axis)
         z = jnp.einsum("bld,di->bli", x, p["in_proj_z"][0].astype(cdtype))
         if p["in_proj_x"].shape[-1] <= 768:
             # In-kernel in_proj pays only while the scan dominates: the
@@ -466,12 +442,6 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
             y_gated = bimamba_mixer_fused(xi0, z, *scan_args)
         return _maybe_psum(y_gated.astype(cdtype)
                            @ p["out_proj"][0].astype(cdtype), tp_axis)
-
-    if quant:
-        raise NotImplementedError(
-            "int8 projections support only the fused inference path "
-            "(bidirectional 'add', tied in_proj, no tp/sp/LoRA, pallas "
-            "impl) — drop -dtype int8 for this configuration")
 
     # in_proj halves: [Gio, d, di]. Tied (Gio=1) is the released-model path.
     xi = _add_lora(jnp.einsum("bld,gdi->gbli", x, p["in_proj_x"].astype(cdtype)),

@@ -1,20 +1,27 @@
-"""Weight-int8 / dynamic-activation-int8 projections for inference.
+"""int8 matmul primitives — a measured, REJECTED model-level experiment.
 
 The v5e MXU runs int8xint8->int32 ~1.5x faster than bf16 at the mixer
-projection shapes (measured: 237 vs 156 TOPS on [131072, 1024]x[1024, 2048]),
-and at l28/l32 the in/z/out projections are the non-scan share of the
-forward. This module provides the opt-in quantized path the scoring engine
-exposes as ``-dtype int8``:
+projection shapes (measured r3: a materialised [65536,1024]x[1024,2048]
+dot incl. rescale-to-bf16 epilogue runs 1.65 ms int8 vs 2.48 ms bf16).
+Two full int8 projection paths were built and benchmarked end-to-end on
+the scoring engine across rounds:
 
-* weights: per-output-channel symmetric int8 (scale = amax/127 over the
-  reduction axis), quantized once at engine setup,
-* activations: dynamic per-tensor symmetric int8 (one amax pass per call),
-* accumulation in int32 on the MXU, rescaled to f32 with sx * sw.
+* r2, dynamic per-tensor activation scales: l32 120 vs 138 win/s — the
+  per-call amax reduction + quantize passes cost more HBM time than the
+  MXU time saved.
+* r3, static per-layer scales calibrated on the first real batch (the
+  quantize becomes a producer-fused elementwise op; no amax pass): l28
+  0.94x, l32 0.96x of bf16 — closer, still a loss. An isolated full-mixer
+  A/B showed int8 winning only ~2.4% per layer: at these shapes the VPU
+  selective scan dominates the mixer (Amdahl ceiling ~1.26x even with
+  free projections), and the model-level residue never recovered the
+  kernel-level win.
 
-Opt-in only: zero-shot scores are softmax-ratio statistics at one position
-and tolerate the quantization noise well (tested: Spearman > 0.99 vs the
-bf16 scores on random models), but bit-parity with the reference is the
-default, so bf16 stays the standard path.
+The engine/CLI path was therefore removed (VERDICT r2 #5: win or cut).
+What remains here are the tested primitives (weight quant, static/dynamic
+activation quant, int8 MXU matmul with fused rescale) for future hardware
+where the MXU:VPU balance differs — e.g. the SSD variants' chunked-matmul
+recurrence, where projections are a larger share of the forward.
 """
 
 from __future__ import annotations
@@ -63,18 +70,34 @@ def int8_dense(x: jax.Array, w8: jax.Array, w_scale: jax.Array,
     return y.reshape(*lead, w8.shape[-1]).astype(out_dtype)
 
 
-def quantize_block_projections(blocks: dict) -> dict:
-    """Replace the mixer's big projection leaves (in_proj_x / in_proj_z /
-    out_proj, stacked [L, Gio, in, out]) with int8 + scale pairs. The model
-    branches on the presence of the ``_q8`` leaves (static pytree
-    structure), so one compiled forward serves each mode."""
-    out = dict(blocks)
-    for name in ("in_proj_x", "in_proj_z", "out_proj"):
-        if name not in blocks:
-            continue
-        w = blocks[name]                      # [L, Gio, in, out]
-        w8, scale = quantize_weight(w, reduce_axis=2)
-        del out[name]
-        out[name + "_q8"] = w8
-        out[name + "_scale"] = scale          # [L, Gio, 1, out]
-    return out
+def quantize_activation_static(x: jax.Array, a_scale: jax.Array) -> jax.Array:
+    """Quantize with a pre-calibrated scale: one fused elementwise pass (no
+    amax reduction — XLA folds it into the producer's epilogue). Values
+    beyond the calibration range saturate at ±127, which symmetric int8
+    tolerates (see :func:`calibrate`'s margin)."""
+    xf = x.astype(jnp.float32)
+    return jnp.clip(jnp.round(xf * (1.0 / a_scale)), -127, 127).astype(jnp.int8)
+
+
+def int8_matmul(x8: jax.Array, w8: jax.Array, scale: jax.Array,
+                out_dtype=jnp.float32) -> jax.Array:
+    """[..., d_in] int8 @ [d_in, d_out] int8 -> int32 MXU accum, rescaled by
+    ``scale`` (= a_scale * w_scale, broadcastable over the output) in the
+    dot's epilogue."""
+    lead = x8.shape[:-1]
+    y32 = jax.lax.dot_general(
+        x8.reshape(-1, x8.shape[-1]), w8,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    y = y32.astype(jnp.float32) * scale
+    return y.reshape(*lead, w8.shape[-1]).astype(out_dtype)
+
+
+def int8_dense_static(x: jax.Array, w8: jax.Array, w_scale: jax.Array,
+                      a_scale: jax.Array, out_dtype=jnp.float32) -> jax.Array:
+    """y = x @ dequant(w8) with a pre-calibrated activation scale.
+
+    ``a_scale`` is a scalar (this layer's calibrated amax/127)."""
+    return int8_matmul(quantize_activation_static(x, a_scale), w8,
+                       a_scale * w_scale, out_dtype)
+
+
