@@ -52,6 +52,10 @@ LADDER = [
     ("pc2-small", 1024, 32),
     ("pc2-medium", 256, 16),
     ("pc2-large", 128, 8),
+    # SSD long-context lane: batch 8, NOT 32 — the chunked-state
+    # materialisation ([B, nchunks, heads, hd, N] per direction) thrashes
+    # HBM at batch 32 (measured 2.5 win/s vs 21.0 at batch 8; DESIGN §5).
+    ("pc2-small-ssd", 512, 8),
 ]
 
 # Training-lane anchors: best previously recorded tok/s (DESIGN.md §5 arc,
