@@ -92,5 +92,7 @@ def export_hf_dir(directory, params, cfg: CaduceusConfig) -> None:
         "pad_token_id": cfg.pad_token_id,
     }, indent=2))
     sd = export_state_dict(params, cfg)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+    # copy=True: jax-backed numpy views are read-only; from_numpy on a
+    # non-writable array is undefined behavior (and warns).
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
                 for k, v in sd.items()}, directory / "pytorch_model.bin")
