@@ -67,6 +67,7 @@ TRAIN_LANE = [
     # (name, model, batch, window, grad_accum)
     ("l20", "l20", 32, 512, 1),
     ("l32", "l32", 32, 512, 1),
+    ("l20-ssd", "l20-ssd", 32, 512, 1),
     ("pc2-small", "pc2-small", 8, 8192, 1),
     ("lora-l20-accum4", "l20", 8, 512, 4),
 ]
