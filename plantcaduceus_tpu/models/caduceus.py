@@ -386,6 +386,15 @@ def mamba_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
             f"d_inner={p['in_proj_x'].shape[-1]} is not a multiple of 128; "
             "falling back from the Pallas kernel to the associative scan")
         impl = "associative"
+    if impl == "pallas" and x.shape[1] % 8:
+        # The time-chunk picker (ops/pallas_scan.pick_bl) handles any L
+        # that is a multiple of the 8-row sublane tile (e.g. the PlantCAD2
+        # LoRA recipe's 600-bp windows); lengths that aren't have no legal
+        # tile at all.
+        warnings.warn(
+            f"sequence length {x.shape[1]} is not a multiple of 8; falling "
+            "back from the Pallas kernel to the associative scan")
+        impl = "associative"
     # Flip-free bidirectional path: the reverse direction uses an anticausal
     # conv (== flip∘causal-conv∘flip, computed without the flips) and scans
     # right-to-left natively inside the Pallas kernel, so no [.., L, d_inner]

@@ -237,10 +237,17 @@ def mixer_scan_fused(
         bd = D if not emit_residuals else min(DEF_BD, D)
     if bl is None:
         # Largest time chunk whose scratch fits scoped VMEM (xg is
-        # 8*bl*D bytes, temporaries scale with bl*bd).
-        bl = min(DEF_BL, L)
-        while bl > 128 and bl * D > _VMEM_FIT_ELEMS and L % (bl // 2) == 0:
-            bl //= 2
+        # 8*bl*D bytes, temporaries scale with bl*bd). Chunks come from
+        # the divisor picker so any L that is a multiple of 8 tiles
+        # (e.g. the PlantCAD2 LoRA recipe's 600-bp windows).
+        from plantcaduceus_tpu.ops.pallas_scan import pick_bl
+
+        bl = pick_bl(L, min(DEF_BL, L))
+        while bl > 128 and bl * D > _VMEM_FIT_ELEMS:
+            nxt = pick_bl(L, bl - 8)
+            if nxt == bl:
+                break
+            bl = nxt
     bl = min(bl, L)
     bd = min(bd, D)
     if L % bl or D % bd:
@@ -440,12 +447,16 @@ def bimamba_mixer_fused(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
 
 def _bimamba_mixer_fwd(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
                        dt_proj_w, dt_bias, A, Dskip):
-    from plantcaduceus_tpu.ops.pallas_scan import TRAIN_BL
+    from plantcaduceus_tpu.ops.pallas_scan import TRAIN_BL, pick_bl
 
+    # divisor chunk so non-power-of-two lengths (e.g. 600-bp LoRA windows)
+    # train; the bwd group resolves the same bl from the same inputs, so
+    # the emitted hb chunking always matches.
+    bl = pick_bl(xi.shape[1], min(TRAIN_BL, xi.shape[1]))
     res = [
         mixer_scan_fused(xi, conv_w[g], conv_b[g], w_dtlr[g], w_B[g],
                          w_C[g], dt_proj_w[g], dt_bias[g], A[g], Dskip[g],
-                         reverse=(g == 1), bl=TRAIN_BL, emit_residuals=True)
+                         reverse=(g == 1), bl=bl, emit_residuals=True)
         for g in range(2)
     ]
     y_sum = (res[0][0] + res[1][0]).astype(jnp.float32)

@@ -53,6 +53,26 @@ DEF_BB = 1          # batch rows per grid step (v5e sweep: bb>1 never wins)
 DEF_T_INNER = 1     # sequential recurrence (Hillis-Steele window if >1)
 
 
+def pick_bl(L: int, cap: int, step: int = 8) -> int:
+    """Largest time chunk <= ``cap`` that divides L and is a multiple of
+    ``step`` (the f32 sublane tile). Lets the kernels run any L that is a
+    multiple of 8 — e.g. the reference's PlantCAD2 LoRA recipe tokenizes at
+    sequence_length 600 (docs/PlantCAD2-overview.md), where the power-of-two
+    chunk policy alone has no valid tile (600 %% 512 != 0) but 200 | 600
+    does. Raises for L not a multiple of ``step`` (no legal sublane tile —
+    pad the sequence to a multiple of 8 instead)."""
+    if L % step:
+        raise ValueError(
+            f"sequence length {L} is not a multiple of {step}; the Pallas "
+            f"scan has no legal time tile — pad the window to a multiple "
+            f"of {step} (or use scan_impl='associative')")
+    bl = min(cap, L)
+    bl -= bl % step
+    while bl > step and L % bl:
+        bl -= step
+    return max(bl, step)
+
+
 def _fwd_kernel(dtb_ref, A_ref, Dsk_ref, wdt_ref, x_ref, dt_ref, B_ref,
                 C_ref, *rest, t_inner: int, reverse: bool,
                 fuse_dtproj: bool, combine: bool, emit_hb: bool,
@@ -205,6 +225,8 @@ def _pallas_scan_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     fuse_dtproj = dt_proj_w is not None
     Rk = dt.shape[-1]  # dt feature dim: R_lowrank if fused else D
     bl = min(bl, L)
+    if L % bl:
+        bl = pick_bl(L, bl)  # largest divisor chunk (supports e.g. L=600)
     bd = min(bd, D)
     bb = _pick_bb(R, B, G, bb)
     if L % bl or D % bd or bl % t_inner:
@@ -468,6 +490,8 @@ def _pallas_bwd_group(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
     N = A.shape[-1]
     Rk = dt.shape[-1]
     bl = min(bl, L)
+    if L % bl:
+        bl = pick_bl(L, bl)  # must resolve identically to the fwd group
     bd = min(bd, D)
     nl, nd = L // bl, D // bd
     assert hb.shape[1] == nl, (hb.shape, nl)

@@ -324,3 +324,79 @@ def test_mixer_readout_vpu_matches_mxu(rng, reverse):
                                readout="vpu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pick_bl_divisor_policy():
+    """pick_bl: largest multiple-of-8 divisor <= cap; rejects L % 8 != 0
+    (the PlantCAD2 LoRA recipe's 600-bp windows are the motivating case:
+    docs/PlantCAD2-overview.md tokenizes at sequence_length 600)."""
+    assert pallas_scan.pick_bl(512, 512) == 512
+    assert pallas_scan.pick_bl(600, 512) == 200
+    assert pallas_scan.pick_bl(600, 256) == 200
+    assert pallas_scan.pick_bl(264, 256) == 88
+    assert pallas_scan.pick_bl(64, 512) == 64
+    assert pallas_scan.pick_bl(24, 16) == 8
+    with pytest.raises(ValueError, match="multiple of 8"):
+        pallas_scan.pick_bl(601, 512)
+
+
+def test_scan_non_power_of_two_length(rng):
+    """L=264 with an explicit bl that doesn't divide it: the group resolves
+    a divisor chunk (88) and still matches the sequential reference."""
+    args = make_inputs(rng, G=2, B=1, L=264, D=16, N=4)
+    want = selective_scan_sequential(*args[:6], dt_bias=args[6])
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_scan.selective_scan_pallas(*args[:6], dt_bias=args[6],
+                                                bl=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_fused_mixer_grads_non_power_of_two_length(rng):
+    """Training fwd+bwd at L=264 (> TRAIN_BL, not a multiple of it): the
+    residual-emitting forward and the Pallas backward must resolve the
+    same divisor chunking (88) and match XLA autodiff of the decomposed
+    formulation."""
+    from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
+    from plantcaduceus_tpu.ops.pallas_mixer import bimamba_mixer_fused
+
+    B, L, D, N, Rk, K = 1, 264, 16, 4, 8, 4
+    f32 = jnp.float32
+    f = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.3, f32)
+    xi, z = f(B, L, D), f(B, L, D)
+    conv_w, conv_b = f(2, D, K), f(2, D)
+    w_dtlr, w_B, w_C = f(2, D, Rk), f(2, D, N), f(2, D, N)
+    w_dt, dtb = f(2, Rk, D), f(2, D)
+    A = -jnp.abs(f(2, D, N)) - 0.3
+    Ds = f(2, D)
+    gw = f(B, L, D)
+    args = (xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, w_dt, dtb, A, Ds)
+
+    def ref_loss(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, w_dt, dtb, A, Ds):
+        ys = []
+        for g in range(2):
+            xg = jax.nn.silu(depthwise_conv_xla(
+                xi, conv_w[g], conv_b[g], activation=None,
+                anticausal=(g == 1)))
+            dt = jnp.einsum("bli,ir->blr", xg, w_dtlr[g]) @ w_dt[g]
+            Bm = jnp.einsum("bli,in->bln", xg, w_B[g])
+            Cm = jnp.einsum("bli,in->bln", xg, w_C[g])
+            flip = (lambda t: jnp.flip(t, axis=2)) if g == 1 else (lambda t: t)
+            y = selective_scan_sequential(
+                flip(xg[None]), flip(dt[None]), A[g:g + 1], flip(Bm[None]),
+                flip(Cm[None]), Ds[g:g + 1], dt_bias=dtb[g:g + 1])
+            ys.append(flip(y)[0])
+        return jnp.sum((ys[0] + ys[1]) * jax.nn.silu(z) * gw)
+
+    def fused_loss(*a):
+        return jnp.sum(bimamba_mixer_fused(*a).astype(f32) * gw)
+
+    want_v = ref_loss(*args)
+    want = jax.grad(ref_loss, argnums=(0, 1, 4, 9))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got_v = fused_loss(*args)
+        got = jax.jit(jax.grad(fused_loss, argnums=(0, 1, 4, 9)))(*args)
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=2e-4)
+    for n, g, r in zip(["dxi", "dz", "dw_dtlr", "dA"], got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3, err_msg=n)
