@@ -56,6 +56,7 @@ LADDER = [
     # materialisation ([B, nchunks, heads, hd, N] per direction) thrashes
     # HBM at batch 32 (measured 2.5 win/s vs 21.0 at batch 8; DESIGN §5).
     ("pc2-small-ssd", 512, 8),
+    ("pc2-medium-ssd", 128, 8),
 ]
 
 # Training-lane anchors: best previously recorded tok/s (DESIGN.md §5 arc,
