@@ -138,6 +138,19 @@ class InferenceRunner:
         (traced into the compiled program — it sees a dict of fp32 arrays)
         reduces per-batch outputs; batches are dispatched ahead of the host
         readback so upload/compute/download pipeline."""
+        if (self.cfg.ssm_variant == "mamba2" and ids.shape[1] >= 4096
+                and self.batch_size > 16):
+            # Measured cliff (docs/PLANTCAD2.md): at 8192 bp the SSD
+            # chunk-state stream thrashes HBM beyond batch ~16 and
+            # throughput collapses ~8x (pc2-small-ssd: 21 win/s at batch 8
+            # vs 2.5 at batch 32). Warn rather than silently crawl.
+            import warnings
+
+            warnings.warn(
+                f"batch_size={self.batch_size} with the mamba2 (SSD) "
+                f"variant at {ids.shape[1]} bp is past the measured HBM "
+                "cliff — use batch_size <= 16 (8 recommended) for "
+                "long-context SSD scoring")
         # Fall back to the closure object itself (not id(extract): the cache
         # must hold a strong reference, or a GC'd closure's id could be
         # reused by a different extract and serve the wrong compiled fwd).

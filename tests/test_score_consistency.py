@@ -177,3 +177,37 @@ def test_duplicate_windows_scored_once(rng, monkeypatch):
     assert n_forwarded == [len(seqs)]
     assert got.shape == (len(tripled), 4)
     np.testing.assert_array_equal(got, np.repeat(want, 3, axis=0))
+
+
+def test_ssd_long_context_batch_warning(rng, monkeypatch):
+    """mamba2 + >=4096 bp + batch > 16 warns about the measured HBM cliff
+    (docs/PLANTCAD2.md); the mamba1 path and small batches stay silent."""
+    import warnings
+
+    cfg = CaduceusConfig(d_model=32, n_layer=1, vocab_size=16,
+                         ssm_variant="mamba2", d_state=8, head_dim=16,
+                         chunk_size=32, scan_impl="xla")
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=1),
+                             devices=jax.devices()[:1])
+    runner = InferenceRunner(params, cfg, mesh=mesh, dtype=jnp.float32,
+                             batch_size=32)
+    # stub the compiled-forward machinery: only the guard is under test
+    monkeypatch.setattr(runner, "_build_fwd",
+                        lambda extract, want_hidden: 1 / 0)
+    ids = np.full((4, 4096), 7, np.int32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        try:
+            runner.run(ids, lambda out: out)
+        except ZeroDivisionError:
+            pass
+    assert any("HBM cliff" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        try:
+            runner.run(np.full((4, 512), 7, np.int32), lambda out: out)
+        except ZeroDivisionError:
+            pass
+    assert not any("HBM cliff" in str(x.message) for x in w)
