@@ -64,6 +64,10 @@ LADDER = [
 # 85% of its anchor is a regression and fails loudly in the summary.
 TRAIN_ANCHORS_PATH = os.path.join(REPO, "tests", "goldens",
                                   "train_bench_anchors.json")
+# Regression-guard noise band: a lane below this fraction of its ratcheted
+# anchor fails loudly; deltas inside the band are still recorded per lane
+# (delta_vs_anchor_pct) so slow multi-round drift stays visible.
+ANCHOR_TOLERANCE = 0.85
 TRAIN_LANE = [
     # (name, model, batch, window, grad_accum)
     ("l20", "l20", 32, 512, 1),
@@ -285,11 +289,18 @@ def main():
             print(json.dumps({"train": name, "error": str(e)[:200]}),
                   flush=True)
             continue
-        train_results[name] = r
         anchor = anchors.get(name)
-        if anchor and r["tokens_per_s"] < 0.85 * anchor:
+        # Surface sub-tolerance drift explicitly: the 0.85 guard means a few
+        # percent can be lost silently each round — record the per-lane delta
+        # so multi-round decay is visible before it trips the guard.
+        if anchor:
+            r["delta_vs_anchor_pct"] = round(
+                100.0 * (r["tokens_per_s"] / anchor - 1.0), 2)
+        train_results[name] = r
+        if anchor and r["tokens_per_s"] < ANCHOR_TOLERANCE * anchor:
             regressions.append(
-                f"{name}: {r['tokens_per_s']} tok/s < 85% of anchor {anchor}")
+                f"{name}: {r['tokens_per_s']} tok/s < "
+                f"{ANCHOR_TOLERANCE:.0%} of anchor {anchor}")
         print(json.dumps({"train": name, **r,
                           "anchor_tokens_per_s": anchor}), flush=True)
     if regressions:
@@ -306,12 +317,15 @@ def main():
 
     run_scaling_artifact()
 
-    wps = results["l20"]
+    # Headline may be absent if the l20 measurement itself failed — emit the
+    # summary with a null headline plus the recorded per-model errors rather
+    # than dying on KeyError after all the other work.
+    wps = results.get("l20")
     print(json.dumps({
         "metric": "zero-shot 512bp windows/sec/chip (l20)",
-        "value": round(wps, 1),
+        "value": round(wps, 1) if wps else None,
         "unit": "windows/s",
-        "vs_baseline": round(wps / H100["l20"], 3),
+        "vs_baseline": round(wps / H100["l20"], 3) if wps else None,
         "selftest": "pass" if numerics_ok else "FAIL",
         "ladder_vs_h100": {m: round(results[m] / H100[m.replace("-ssd", "")], 3)
                            for m in results
@@ -319,8 +333,10 @@ def main():
         "pc2_tokens_per_s": {m: round(results[m] * 8192)
                              for m in results if m.startswith("pc2")},
         "train": {k: {"s_per_step": v["s_per_step"],
-                      "tokens_per_s": v["tokens_per_s"], "mfu": v["mfu"]}
+                      "tokens_per_s": v["tokens_per_s"], "mfu": v["mfu"],
+                      "delta_vs_anchor_pct": v.get("delta_vs_anchor_pct")}
                   for k, v in train_results.items()},
+        "anchor_tolerance": ANCHOR_TOLERANCE,
         "train_regressions": regressions or None,
     }))
 

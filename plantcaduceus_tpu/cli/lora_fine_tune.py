@@ -199,6 +199,30 @@ def cmd_train(args):
         if task_saved != task_type:
             sys.exit(f"checkpoint task_type {task_saved!r} != requested "
                      f"{task_type!r}")
+        # A mode/config mismatch would otherwise surface much later as an
+        # opaque orbax pytree-template error — fail with a clear message.
+        import json as _json
+
+        meta = _json.loads(
+            (Path(args.resume_from) / "adapter_config.json").read_text())
+        saved_full = meta.get("full_finetune", False)
+        if saved_full != bool(args.full_finetune):
+            sys.exit(f"checkpoint was saved with full_finetune={saved_full} "
+                     f"but --full-finetune={bool(args.full_finetune)} was "
+                     "requested — pass the matching mode to resume")
+        if not saved_full and (cfg_l_saved.r, cfg_l_saved.alpha,
+                               cfg_l_saved.dropout,
+                               tuple(cfg_l_saved.targets)) != (
+                                   cfg_l.r, cfg_l.alpha, cfg_l.dropout,
+                                   tuple(cfg_l.targets)):
+            sys.exit(
+                "checkpoint LoRA config "
+                f"(r={cfg_l_saved.r}, alpha={cfg_l_saved.alpha}, "
+                f"dropout={cfg_l_saved.dropout}, "
+                f"targets={list(cfg_l_saved.targets)}) does not match the "
+                f"CLI configuration (r={cfg_l.r}, alpha={cfg_l.alpha}, "
+                f"dropout={cfg_l.dropout}, targets={list(cfg_l.targets)}) "
+                "— resume with the original hyperparameters")
         # Restored leaves are committed to one device; replicate onto the
         # mesh to match the (replicated) base params the jitted step sees.
         rep = NamedSharding(mesh, PartitionSpec())

@@ -166,7 +166,10 @@ def main(argv=None):
             and not dataset.startswith("shards:")):
         from pathlib import Path as _Path
 
-        if _Path(dataset).stat().st_size > 256 * 2**20:
+        _p = _Path(dataset)
+        # exists() first: a mistyped path must fall through to
+        # sequence_source's dataset-spec error, not die here on stat().
+        if _p.exists() and _p.stat().st_size > 256 * 2**20:
             logging.info("large FASTA (>256MB): streaming at O(chromosome) "
                          "memory (shards: path)")
             dataset = "shards:" + dataset
@@ -243,19 +246,22 @@ def main(argv=None):
     # the reference emits via trainer.create_model_card / push_to_hub
     # (src/HF_pre_train.py:535-548).
     params_host = jax.device_get(state.params)
+    # Final eval is a jitted mesh computation with cross-host collectives:
+    # it must run on ALL processes (only logging/export below is gated on
+    # process 0), or process 0 would hang waiting for peers.
+    final_metrics = None
+    if eval_data is not None and args.eval_steps:
+        from plantcaduceus_tpu.parallel.mesh import shard_batch
+
+        final_metrics = loop_lib.evaluate(
+            state, eval_step, eval_data.eval_batches(), max_batches=20,
+            place=lambda b: shard_batch(b, mesh))
+        logging.info("final eval: %s", final_metrics)
     if jax.process_index() == 0:
         from plantcaduceus_tpu.compat import model_card as card_lib
 
         final_dir = f"{args.output_dir}/final"
         ckpt_lib.export_params(final_dir, params_host, cfg)
-        final_metrics = None
-        if eval_data is not None and args.eval_steps:
-            from plantcaduceus_tpu.parallel.mesh import shard_batch
-
-            final_metrics = loop_lib.evaluate(
-                state, eval_step, eval_data.eval_batches(), max_batches=20,
-                place=lambda b: shard_batch(b, mesh))
-            logging.info("final eval: %s", final_metrics)
         import numpy as _np
 
         n_params = sum(int(_np.prod(_np.shape(x)))

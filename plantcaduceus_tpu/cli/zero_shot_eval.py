@@ -50,8 +50,9 @@ def _runner(args):
         if getattr(args, "seq", 1) > 1 else None
     runner = InferenceRunner(params, cfg, mesh=mesh, dtype=jnp.bfloat16,
                              batch_size=args.batch_size)
-    vocab = tok.get_vocab()
-    nuc_ids = [vocab[n] for n in "acgt"]
+    from plantcaduceus_tpu.io.tokenizer import nucleotide_ids
+
+    nuc_ids = nucleotide_ids(tok)
     return runner, tok, nuc_ids
 
 

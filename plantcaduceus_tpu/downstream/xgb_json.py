@@ -56,6 +56,14 @@ class XgbJsonPredictor:
         self.tree_info = np.asarray(model.get("tree_info", []), np.int64)
         self.trees = []
         for t in model["trees"]:
+            # Categorical splits (split_type=1 with a categories bitset)
+            # would silently evaluate as numeric thresholds here — refuse
+            # rather than return wrong probabilities.
+            if (np.any(np.asarray(t.get("split_type", []), np.int64) != 0)
+                    or len(t.get("categories", []))):
+                raise NotImplementedError(
+                    "categorical splits are not supported by the numpy "
+                    "evaluator; score this artifact with the xgboost wheel")
             self.trees.append({
                 "left": np.asarray(t["left_children"], np.int64),
                 "right": np.asarray(t["right_children"], np.int64),

@@ -53,8 +53,9 @@ class ScoringService:
                  default_pos: Optional[int] = None):
         self.runner = runner
         self.tokenizer = tokenizer
-        vocab = tokenizer.get_vocab()
-        self.nuc_ids = [vocab[n] for n in "acgt"]
+        from plantcaduceus_tpu.io.tokenizer import nucleotide_ids
+
+        self.nuc_ids = nucleotide_ids(tokenizer)
         self.default_pos = default_pos
 
     def _pos(self, pos: Optional[int], seq_len: int) -> int:

@@ -86,8 +86,9 @@ def nucleotide_probs(runner: InferenceRunner, tokenizer: DnaTokenizer,
     SURVEY.md §2.7's record-striding + all_gather plan."""
     import jax
 
-    vocab = tokenizer.get_vocab()
-    nuc_ids = [vocab[n] for n in "acgt"]
+    from plantcaduceus_tpu.io.tokenizer import nucleotide_ids
+
+    nuc_ids = nucleotide_ids(tokenizer)
     sequences, inverse = _dedup(sequences)
     if inverse is not None:
         log.info("Scoring %d unique windows for %d records",

@@ -178,3 +178,28 @@ class DnaTokenizer:
 def reverse_complement(seq: str) -> str:
     """String-level reverse complement (non-ACGT chars pass through)."""
     return "".join(COMPLEMENT.get(c, c) for c in reversed(seq))
+
+
+def nucleotide_ids(tokenizer: "DnaTokenizer") -> List[int]:
+    """Token ids for the four nucleotides in A,C,G,T order.
+
+    The reference indexes the vocab with the lowercase literals
+    (src/zero_shot_score.py:109,118) because the released tokenizers carry a
+    lowercase vocab; a tokenizer loaded via from_hf_dir may instead define
+    uppercase (or mixed-case) entries, so resolution here is
+    case-insensitive — exact lowercase wins, then the uppercase variant —
+    with a clear error naming the vocab when a base has no entry at all."""
+    vocab = tokenizer.get_vocab()
+    ids = []
+    for n in "acgt":
+        idx = vocab.get(n)
+        if idx is None:
+            idx = vocab.get(n.upper())
+        if idx is None:
+            raise KeyError(
+                f"tokenizer vocab defines neither {n!r} nor {n.upper()!r} "
+                f"(single-char entries: "
+                f"{sorted(t for t in vocab if len(t) == 1)}) — cannot score "
+                "nucleotide substitutions with it")
+        ids.append(idx)
+    return ids

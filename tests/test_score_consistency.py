@@ -211,3 +211,45 @@ def test_ssd_long_context_batch_warning(rng, monkeypatch):
         except ZeroDivisionError:
             pass
     assert not any("HBM cliff" in str(x.message) for x in w)
+
+
+def test_uppercase_vocab_tokenizer_scores_end_to_end(rng, tmp_path):
+    """A from_hf_dir tokenizer with an UPPERCASE vocab (no lowercasing
+    normalizer) must resolve nucleotide ids case-insensitively and score
+    through the engine instead of KeyError-ing on vocab['a']."""
+    import json
+
+    from plantcaduceus_tpu.io.tokenizer import nucleotide_ids
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[MASK]": 2, "A": 3, "C": 4, "G": 5,
+             "T": 6, "N": 7}
+    (tmp_path / "tokenizer.json").write_text(json.dumps({
+        "normalizer": None,
+        "model": {"type": "WordLevel", "vocab": vocab},
+    }))
+    tok = DnaTokenizer.from_hf_dir(tmp_path)
+    assert tok.lowercase is False
+    assert nucleotide_ids(tok) == [3, 4, 5, 6]
+
+    cfg = CaduceusConfig(**TINY)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    seqs = ["".join(rng.choice(list("ACGT"), 128)) for _ in range(8)]
+    runner = InferenceRunner(params, cfg, mesh=_mesh1(), dtype=jnp.float32,
+                             batch_size=8)
+    probs = zero_shot.nucleotide_probs(runner, tok, seqs, token_idx=64,
+                                       progress=False)
+    assert probs.shape == (8, 4) and np.isfinite(probs).all()
+    scores = zero_shot.log_ratio_scores(probs, ["A"] * 8, ["T"] * 8)
+    assert np.isfinite(scores).all()
+
+
+def test_nucleotide_ids_missing_base_clear_error():
+    """A vocab with no entry for a base in either case fails with a message
+    naming the vocab, not a bare KeyError."""
+    import pytest
+
+    from plantcaduceus_tpu.io.tokenizer import nucleotide_ids
+
+    tok = DnaTokenizer(characters=("a", "c", "g"))  # no t/T
+    with pytest.raises(KeyError, match="neither 't' nor 'T'"):
+        nucleotide_ids(tok)
