@@ -654,11 +654,16 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
 
     sp = sp_axis is not None
 
-    if impl == "pallas" and fused_inference and tp_axis is None and not sp:
+    if impl == "pallas" and tp_axis is None and not sp:
         # Whole-interior fused kernel per direction (conv + SSD + gated
         # norm in VMEM — ops/pallas_mixer2.py): HBM traffic is the
-        # projections' inputs/outputs only. Inference path — its VJP
-        # recomputes through XLA, so training takes the branch below.
+        # projections' inputs/outputs only. Serves BOTH inference and
+        # training: under grad the forward re-runs as the residual-emitting
+        # kernel and the backward chains the Pallas SSD adjoint with the
+        # conv/norm transposes — no decomposed [B, L, d_inner] rebuild in
+        # forward or remat recompute (the mamba1 fused-mixer pattern).
+        # LoRA composes freely: every mamba2 adapter site (the five
+        # projections + out_proj) lives OUTSIDE the interior.
         from plantcaduceus_tpu.ops.pallas_mixer2 import mamba2_mixer_interior
 
         outs = [
@@ -712,9 +717,9 @@ def mamba2_mixer(p: Params, x: jax.Array, cfg: CaduceusConfig,
                 for g in range(G)
             ]
         elif impl == "pallas":
-            # Training path: Pallas SSD forward + the hand-written Pallas
-            # adjoint (_bwd_kernel); convs/gate/norm stay XLA ops whose
-            # autodiff is matmul/elementwise-shaped.
+            # Tensor-parallel path (the fused interior would hide the
+            # norm's cross-shard reduction): Pallas SSD + hand-written
+            # adjoint; convs/gate/norm stay XLA ops.
             from plantcaduceus_tpu.ops.pallas_ssd import ssd_dir
 
             y = [
@@ -920,12 +925,13 @@ def forward(
     array (entry k = block k's residual-stream input, last entry = the
     post-norm final state == ``hidden_states``) — the intermediate-layer
     API of AutoModelForMaskedLM(output_hidden_states=True).
-    ``fused_inference`` selects the whole-mixer-interior kernel (the
-    inference engine sets it). mamba1's fused kernel has a native Pallas
-    backward and serves training too; mamba2's fused kernel is
-    inference-only — under grad its VJP recomputes through XLA, so training
-    leaves the flag unset and takes the decomposed path with the
-    hand-written SSD adjoint. ``sp_axis``/``sp_shards``
+    ``fused_inference`` selects mamba1's in-kernel-in_proj variant (the
+    inference engine sets it). Both variants' whole-mixer-interior kernels
+    have native Pallas backwards and serve training too; mamba2's fused
+    interior engages whenever the Pallas impl is selected (no tensor/
+    sequence axis), for training and inference alike — under grad it
+    re-runs as the residual-emitting kernel feeding the hand-written SSD
+    adjoint (ops/pallas_mixer2.py). ``sp_axis``/``sp_shards``
     enable context parallelism: call inside shard_map with the L axis of
     ``input_ids`` sharded over that mesh axis; logits come back sharded the
     same way."""
