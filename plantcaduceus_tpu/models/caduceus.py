@@ -310,6 +310,20 @@ _LORA_SITE_IDS = {name: i for i, name in enumerate((
     "in_proj_B", "in_proj_C", "in_proj_dt",
 ))}
 
+# Dropout-mask sharing groups = the reference's TORCH MODULES. PEFT hangs
+# ONE lora_dropout per adapted Linear (src/lora_fine_tune.py:615 targets
+# in_proj/x_proj/out_proj); this framework splits those Linears into
+# per-output sites (in_proj -> x/z[/B/C/dt], x_proj -> dt/B/C), so sites of
+# the same torch module must share one mask draw to match PEFT semantics —
+# and the shared key lets XLA CSE the (expensive) mask generation + multiply
+# down to one instance per module instead of one per site.
+_LORA_DROP_GROUPS = {
+    "in_proj_x": 0, "in_proj_z": 0,
+    "in_proj_B": 0, "in_proj_C": 0, "in_proj_dt": 0,   # mamba2 in_proj
+    "x_proj_dt": 1, "x_proj_B": 1, "x_proj_C": 1,      # mamba1 x_proj
+    "out_proj": 2,
+}
+
 
 def _lora_delta(lora, name: str, x: jax.Array, spec_a: str, spec_b: str,
                 g: Optional[int] = None):
@@ -323,9 +337,11 @@ def _lora_delta(lora, name: str, x: jax.Array, spec_a: str, spec_b: str,
         return None
     rng, p_drop = lora.get("rng"), lora.get("dropout", 0.0)
     if rng is not None and p_drop > 0:
-        # independent draw per site AND per direction (each direction is a
-        # separate adapted module in the torch/peft layout)
-        k = jax.random.fold_in(rng, _LORA_SITE_IDS[name] * 4 + (g or 0))
+        # One mask per TORCH MODULE per direction (see _LORA_DROP_GROUPS):
+        # split sites of the same reference Linear share the draw, exactly
+        # like PEFT's single lora_dropout per adapted module. Directions are
+        # separate adapted modules in the torch layout, hence the g term.
+        k = jax.random.fold_in(rng, _LORA_DROP_GROUPS[name] * 4 + (g or 0))
         keep = jax.random.bernoulli(k, 1.0 - p_drop, x.shape)
         x = x * keep.astype(x.dtype) / (1.0 - p_drop)
     a, b = ab["a"], ab["b"]

