@@ -138,19 +138,11 @@ class InferenceRunner:
         (traced into the compiled program — it sees a dict of fp32 arrays)
         reduces per-batch outputs; batches are dispatched ahead of the host
         readback so upload/compute/download pipeline."""
-        if (self.cfg.ssm_variant == "mamba2" and ids.shape[1] >= 4096
-                and self.batch_size > 16):
-            # Measured cliff (docs/PLANTCAD2.md): at 8192 bp the SSD
-            # chunk-state stream thrashes HBM beyond batch ~16 and
-            # throughput collapses ~8x (pc2-small-ssd: 21 win/s at batch 8
-            # vs 2.5 at batch 32). Warn rather than silently crawl.
-            import warnings
-
-            warnings.warn(
-                f"batch_size={self.batch_size} with the mamba2 (SSD) "
-                f"variant at {ids.shape[1]} bp is past the measured HBM "
-                "cliff — use batch_size <= 16 (8 recommended) for "
-                "long-context SSD scoring")
+        # (r3's SSD long-context batch-32 HBM cliff is fixed: the
+        # whole-interior fused kernel keeps chunk states in VMEM, and
+        # re-measurement shows batch 8/16/32 within 2% at 8192 bp —
+        # pc2-small-ssd 20.6/20.1/20.3 win/s. Batch 64 at 8192 bp exceeds
+        # HBM at compile time and fails loudly, which needs no warning.)
         # Fall back to the closure object itself (not id(extract): the cache
         # must hold a strong reference, or a GC'd closure's id could be
         # reused by a different extract and serve the wrong compiled fwd).

@@ -8,8 +8,13 @@ box it exercises the harness itself over the virtual CPU mesh
 (PCAD_PLATFORM=cpu with --xla_force_host_platform_device_count=N);
 on a real pod the same command produces the deliverable measurement.
 
+Each device count is timed ``--repeats`` times (default 3); the reported
+windows/s is the MEDIAN, with min/max recorded as the spread — a
+single-shot read on the shared-core virtual mesh proved noisy enough
+(0.795 vs 0.674 across two r3 runs) to be useless as a regression signal.
+
 Usage: python tools/bench_scaling.py [--model l20] [--windows 2048]
-       [--devices 1 2 4 8]
+       [--devices 1 2 4 8] [--repeats 3]
 """
 
 import argparse
@@ -28,7 +33,8 @@ maybe_force_platform()  # PCAD_PLATFORM=cpu + xla_force_host_platform_device_cou
 
 
 def measure(model: str, n_dev: int, n_windows: int, batch: int,
-            overrides: dict | None = None) -> float:
+            overrides: dict | None = None,
+            repeats: int = 3) -> tuple[float, float, float]:
     import jax
     import jax.numpy as jnp
 
@@ -56,11 +62,14 @@ def measure(model: str, n_dev: int, n_windows: int, batch: int,
     nuc = [7, 8, 9, 10]
 
     runner.masked_probs(ids[: batch * n_dev], nuc, pos, progress=False)
-    t0 = time.time()
-    probs = runner.masked_probs(ids, nuc, pos, progress=False)
-    dt = time.time() - t0
-    assert probs.shape == (n_windows, 4) and np.isfinite(probs).all()
-    return n_windows / dt
+    wps = []
+    for _ in range(repeats):
+        t0 = time.time()
+        probs = runner.masked_probs(ids, nuc, pos, progress=False)
+        dt = time.time() - t0
+        assert probs.shape == (n_windows, 4) and np.isfinite(probs).all()
+        wps.append(n_windows / dt)
+    return float(np.median(wps)), float(min(wps)), float(max(wps))
 
 
 def main():
@@ -75,6 +84,8 @@ def main():
                     help="override preset width (CPU smoke runs)")
     ap.add_argument("--n-layer", type=int, default=None,
                     help="override preset depth (CPU smoke runs)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repeats per device count; median reported")
     args = ap.parse_args()
 
     import jax
@@ -89,13 +100,17 @@ def main():
         overrides = {k: v for k, v in
                      (("d_model", args.d_model), ("n_layer", args.n_layer))
                      if v is not None}
-        wps = measure(args.model, n, args.windows, args.batch, overrides)
+        wps, lo, hi = measure(args.model, n, args.windows, args.batch,
+                              overrides, repeats=args.repeats)
         if n == counts[0]:
             base = wps / n
         eff = wps / (n * base) if base else None
         row = {
             "model": args.model, "devices": n,
             "windows_per_s": round(wps, 1),
+            "windows_per_s_min": round(lo, 1),
+            "windows_per_s_max": round(hi, 1),
+            "repeats": args.repeats,
             "scaling_efficiency": round(eff, 3) if eff else None,
         }
         if jax.devices()[0].platform == "cpu" and eff is not None:
