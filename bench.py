@@ -76,6 +76,13 @@ TRAIN_LANE = [
     ("l32", "l32", 32, 512, 1),
     ("l20-ssd", "l20-ssd", 32, 512, 1),
     ("pc2-small", "pc2-small", 8, 8192, 1),
+    # PC2-Medium (l48/d1024, 338M) trains on ONE chip at 8192 bp only up
+    # to batch 2 (batch 4 OOMs even with remat); the recipe scales batch
+    # via grad-accum. PC2-Large (l48/d1536) does NOT fit single-chip at
+    # 8192 bp even at batch 1 — its training recipe is the multi-chip
+    # fsdp/pipe mesh validated at real geometry in dryrun_multichip
+    # (docs/PLANTCAD2.md "Training the big configs").
+    ("pc2-medium", "pc2-medium", 2, 8192, 1),
     ("lora-l20-accum4", "l20", 8, 512, 4),
 ]
 
@@ -217,6 +224,67 @@ def measure_train(model: str, batch: int, window: int,
             "params": n_params}
 
 
+CONVERGENCE_ANCHOR_PATH = os.path.join(REPO, "tests", "goldens",
+                                       "convergence_anchor.json")
+
+
+def measure_convergence() -> dict:
+    """Planted-structure learning check (VERDICT r3 #2): pre-train a tiny
+    config for 200 steps through the real pipeline at the recipe's
+    soft-mask weight 0.1 and probe what it learned. Guarded against the
+    pinned anchor so the lane fails if the optimizer/masking/weighting
+    wiring stops LEARNING, not just stops descending."""
+    import jax.numpy as jnp
+
+    from plantcaduceus_tpu.models.config import CaduceusConfig
+    from plantcaduceus_tpu.train import convergence as C
+
+    cfg = CaduceusConfig(d_model=64, n_layer=2, vocab_size=16, d_state=8)
+    run = C.train_planted(cfg, steps=200, batch=16, n_corpus=512,
+                          soft_masked_weight=0.1, dtype=jnp.bfloat16)
+    m = C.evaluate_structure(run)
+    return {"final_loss": round(run["final_loss"], 4),
+            "loss_trajectory": [[s, round(v, 4)] for s, v in run["losses"]],
+            "motif_accuracy": round(m["motif_accuracy"], 4),
+            "background_accuracy": round(m["background_accuracy"], 4),
+            "repeat_loss": round(m["repeat_loss"], 4)}
+
+
+def check_convergence() -> list:
+    """-> list of learn-regression strings (empty = healthy); prints the
+    convergence JSON line and refreshes the anchor (best loss kept)."""
+    try:
+        r = measure_convergence()
+    except Exception as e:
+        print(json.dumps({"convergence": "error", "error": str(e)[:200]}),
+              flush=True)
+        return [f"convergence lane failed to run: {e!r:.120}"]
+    try:
+        anchor = json.load(open(CONVERGENCE_ANCHOR_PATH))
+    except Exception:
+        anchor = {}
+    probs = []
+    if r["motif_accuracy"] < 0.8:
+        probs.append(f"motif accuracy {r['motif_accuracy']} < 0.8 floor "
+                     "(recipe no longer learns planted structure)")
+    if r["background_accuracy"] > 0.45:
+        probs.append(f"background accuracy {r['background_accuracy']} > "
+                     "0.45 (label/mask leakage)")
+    if anchor.get("final_loss") and \
+            r["final_loss"] > 1.15 * anchor["final_loss"]:
+        probs.append(f"loss@200 {r['final_loss']} > 115% of anchor "
+                     f"{anchor['final_loss']}")
+    print(json.dumps({"convergence": r,
+                      "anchor_final_loss": anchor.get("final_loss"),
+                      "learn_regressions": probs or None}), flush=True)
+    best = min(r["final_loss"], anchor.get("final_loss", float("inf")))
+    if best != anchor.get("final_loss"):
+        with open(CONVERGENCE_ANCHOR_PATH, "w") as fh:
+            json.dump({"final_loss": best,
+                       "motif_accuracy_floor": 0.8}, fh, indent=1)
+    return probs
+
+
 def run_scaling_artifact() -> None:
     """Emit SCALING_r{N}.json (the next round index, matching the driver's
     BENCH_r{N} numbering) from a CPU-virtual-mesh subprocess: the logic-level
@@ -323,6 +391,8 @@ def main():
         with open(TRAIN_ANCHORS_PATH, "w") as fh:
             json.dump(new_anchors, fh, indent=1)
 
+    learn_regressions = check_convergence()
+
     run_scaling_artifact()
 
     # Headline may be absent if the l20 measurement itself failed — emit the
@@ -346,6 +416,7 @@ def main():
                   for k, v in train_results.items()},
         "anchor_tolerance": ANCHOR_TOLERANCE,
         "train_regressions": regressions or None,
+        "learn_regressions": learn_regressions or None,
     }))
 
 
