@@ -76,6 +76,9 @@ TRAIN_LANE = [
     ("l32", "l32", 32, 512, 1),
     ("l20-ssd", "l20-ssd", 32, 512, 1),
     ("pc2-small", "pc2-small", 8, 8192, 1),
+    # Long-context SSD training: the fused mamba2 training forward (r4)
+    # puts the -ssd family ahead at 8192 bp too (23.7k vs 21.1k tok/s).
+    ("pc2-small-ssd", "pc2-small-ssd", 8, 8192, 1),
     # PC2-Medium (l48/d1024, 338M) trains on ONE chip at 8192 bp only up
     # to batch 2 (batch 4 OOMs even with remat); the recipe scales batch
     # via grad-accum. PC2-Large (l48/d1536) does NOT fit single-chip at
@@ -310,12 +313,21 @@ def run_scaling_artifact() -> None:
                            "scaling efficiency is 1/N here; "
                            "vs_shared_core_ideal is the logic-overhead "
                            "proxy, raw efficiency is the real-pod metric.",
-                   "noise": "median of 3 repeats with min/max recorded per "
-                            "point (r4). The r3 0.795-vs-0.674 discrepancy "
-                            "was single-shot run-to-run noise: host-CPU "
-                            "contention swings the shared-core timing "
-                            "~±40% (measured n=1 spread 3.3-6.1 win/s), "
-                            "not an engine regression.",
+                   "noise": "median of 3 repeats + best-of estimator, "
+                            "min/max recorded per point (r4). The r3 "
+                            "0.795-vs-0.674 'regression' was noise, and "
+                            "the overhead has a name: VM co-tenancy + XLA "
+                            "host-thread scheduling on the 4 shared cores "
+                            "— identical code measured n=1 medians of "
+                            "4.2-6.6 win/s BETWEEN runs (within-run "
+                            "spreads up to 1.7-6.7). The proxy cannot be "
+                            "made stable on this box; its stable signal "
+                            "is absolute: the 8-virtual-device mesh "
+                            "sustains ~3 win/s wherever 1-device gets "
+                            "4.5-6.6, bounding mesh-logic overhead by the "
+                            "host noise floor. The >=85% north star is a "
+                            "real-pod measurement (run this same tool "
+                            "there).",
                    "results": lines, "rc": proc.returncode}
     except Exception as e:  # never fail the bench over the side artifact
         payload = {"error": str(e)}
@@ -324,7 +336,8 @@ def run_scaling_artifact() -> None:
     last = (payload.get("results") or [{}])[-1]
     print(json.dumps({"scaling_artifact": os.path.basename(out_path),
                       **{k: last[k] for k in ("scaling_efficiency",
-                                              "vs_shared_core_ideal")
+                                              "vs_shared_core_ideal",
+                                              "vs_shared_core_ideal_best")
                          if k in last}}), flush=True)
 
 

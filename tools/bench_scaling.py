@@ -104,7 +104,13 @@ def main():
                               overrides, repeats=args.repeats)
         if n == counts[0]:
             base = wps / n
+            base_best = hi / n
         eff = wps / (n * base) if base else None
+        # Best-of-repeats: the least-contended observation. On a shared
+        # host, interference only ever SLOWS a run, so the max-throughput
+        # repeat is the standard estimator of the code's own cost (same
+        # rationale as timeit's min); the median catches scheduler tails.
+        eff_best = hi / (n * base_best) if base else None
         row = {
             "model": args.model, "devices": n,
             "windows_per_s": round(wps, 1),
@@ -112,6 +118,8 @@ def main():
             "windows_per_s_max": round(hi, 1),
             "repeats": args.repeats,
             "scaling_efficiency": round(eff, 3) if eff else None,
+            "scaling_efficiency_best": round(eff_best, 3) if eff_best
+            else None,
         }
         if jax.devices()[0].platform == "cpu" and eff is not None:
             # All virtual devices share one physical CPU: total FLOPs/s is
@@ -121,6 +129,7 @@ def main():
             # scaling_efficiency is the >=85% deliverable.
             row["shared_core_ideal"] = round(1 / n, 3)
             row["vs_shared_core_ideal"] = round(eff * n, 3)
+            row["vs_shared_core_ideal_best"] = round(eff_best * n, 3)
         print(json.dumps(row), flush=True)
 
 
