@@ -80,7 +80,32 @@ def run_training(
     for step in range(start_step, max_steps):
         profiler.step(step)
         batch = place(next(train_iter))
-        state, metrics_dev = train_step(state, batch)
+        if step == start_step:
+            # The first step carries the compile + buffer assignment; an
+            # HBM overflow here surfaces as an opaque runtime/compile error
+            # (through remote tunnels, an HTTP 500 with no detail) — wrap
+            # it with the actionable levers. Measured walls this guards:
+            # pc2-medium > batch 2 and pc2-large at any batch on one 16 GB
+            # chip (docs/PLANTCAD2.md "Training the big configs").
+            try:
+                state, metrics_dev = train_step(state, batch)
+            except Exception as e:
+                msg = str(e)
+                if ("RESOURCE_EXHAUSTED" in msg or "remote_compile" in msg
+                        or "Ran out of memory" in msg):
+                    raise RuntimeError(
+                        "first training step failed in compile/allocation "
+                        "— this usually means the config does not fit the "
+                        "chip's HBM. Levers: lower --batch-size and scale "
+                        "with --grad-accum (same effective batch, less "
+                        "memory); shard optimizer state over chips with "
+                        "--fsdp N; split deep layer stacks with --pipe N. "
+                        "Measured single-chip walls: docs/PLANTCAD2.md "
+                        f"'Training the big configs'. Original error: {e}"
+                    ) from e
+                raise
+        else:
+            state, metrics_dev = train_step(state, batch)
         # Synchronise every few steps: unbounded host run-ahead on the
         # donated state chain degrades the remote TPU runtime (queued steps
         # block donation buffer reuse), but the scalar fetch itself now

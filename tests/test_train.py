@@ -586,3 +586,33 @@ def test_lora_batch_at_covers_all_rows():
     np.testing.assert_array_equal(
         _batch_at(ids, None, 4, 5, seed=0)["input_ids"],
         _batch_at(ids, None, 4, 5, seed=0)["input_ids"])
+
+
+def test_first_step_oom_raises_actionable_error(rng):
+    """An HBM-overflow-shaped failure on the FIRST training step is wrapped
+    with the actionable levers (--grad-accum / --fsdp / --pipe) instead of
+    surfacing as an opaque runtime error (train/loop.py)."""
+    import pytest
+
+    from plantcaduceus_tpu.train import loop as loop_lib
+    from plantcaduceus_tpu.train.step import TrainState
+
+    state = TrainState(params={}, opt_state=(), step=jnp.zeros((), jnp.int32))
+
+    def exploding_step(state, batch):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in "
+                           "memory space hbm; used 17.1G of 15.7G")
+
+    batches = iter([{"input_ids": np.zeros((2, 8), np.int32)}])
+    with pytest.raises(RuntimeError, match="--grad-accum"):
+        loop_lib.run_training(state, exploding_step, None, batches, None,
+                              max_steps=1)
+
+    # non-OOM failures pass through untouched
+    def other_error(state, batch):
+        raise ValueError("some unrelated bug")
+
+    batches = iter([{"input_ids": np.zeros((2, 8), np.int32)}])
+    with pytest.raises(ValueError, match="unrelated"):
+        loop_lib.run_training(state, other_error, None, batches, None,
+                              max_steps=1)
