@@ -68,13 +68,24 @@ def load_hf_config(model_dir) -> CaduceusConfig:
         cmap = tuple(cmap[str(i)] if str(i) in cmap else cmap[i]
                      for i in range(len(cmap)))
     ssm = data.get("ssm_cfg") or {}
+    # SSD (Mamba-2) checkpoints: our exports write ssm_variant; mamba_ssm-
+    # convention configs mark ssm_cfg.layer == "Mamba2".
+    is_m2 = (data.get("ssm_variant") == "mamba2"
+             or ssm.get("layer") == "Mamba2")
+    extra = {}
+    if is_m2:
+        extra = {"ssm_variant": "mamba2",
+                 "head_dim": ssm.get("headdim", 128),
+                 "n_groups": ssm.get("ngroups", 1),
+                 "chunk_size": ssm.get("chunk_size", 128)}
     return CaduceusConfig(
         d_model=data["d_model"],
         n_layer=data["n_layer"],
         vocab_size=data.get("vocab_size", 16),
-        d_state=ssm.get("d_state", 16),
+        d_state=ssm.get("d_state", 128 if is_m2 else 16),
         d_conv=ssm.get("d_conv", 4),
         expand=ssm.get("expand", 2),
+        **extra,
         bidirectional=data.get("bidirectional", True),
         bidirectional_strategy=data.get("bidirectional_strategy", "add"),
         bidirectional_weight_tie=data.get("bidirectional_weight_tie", True),
@@ -147,8 +158,37 @@ def _expected_shapes(cfg: CaduceusConfig, gio: int, has_lm_head: bool):
     """Target-pytree leaf shapes implied by the config (the ground truth a
     strict import must match — any transpose/split mistake lands here)."""
     d, di = cfg.d_model, cfg.d_inner
-    N, R, K = cfg.d_state, cfg.dt_rank, cfg.d_conv
+    N, K = cfg.d_state, cfg.d_conv
     L, V, G = cfg.n_layer, cfg.vocab_size, cfg.n_directions
+    if cfg.ssm_variant == "mamba2":
+        H, NGN = cfg.n_heads, cfg.n_groups * cfg.d_state
+        want = {
+            "embedding": (V, d),
+            "norm_f_weight": (d,),
+            "blocks": {
+                "norm_weight": (L, d),
+                "in_proj_x": (L, gio, d, di),
+                "in_proj_z": (L, gio, d, di),
+                "in_proj_B": (L, G, d, NGN),
+                "in_proj_C": (L, G, d, NGN),
+                "in_proj_dt": (L, G, d, H),
+                "conv_x_w": (L, G, di, K),
+                "conv_x_b": (L, G, di),
+                "conv_B_w": (L, G, NGN, K),
+                "conv_B_b": (L, G, NGN),
+                "conv_C_w": (L, G, NGN, K),
+                "conv_C_b": (L, G, NGN),
+                "mixer_norm_weight": (L, gio, di),
+                "out_proj": (L, gio, di, d),
+                "dt_bias": (L, G, H),
+                "A_log": (L, G, H),
+                "D": (L, G, H),
+            },
+        }
+        if has_lm_head:
+            want["lm_head"] = (V, d)
+        return want
+    R = cfg.dt_rank
     want = {
         "embedding": (V, d),
         "norm_f_weight": (d,),
@@ -173,11 +213,124 @@ def _expected_shapes(cfg: CaduceusConfig, gio: int, has_lm_head: bool):
     return want
 
 
+def _build_pytree_mamba2(r: "_Resolver", sd: Dict[str, np.ndarray],
+                         cfg: CaduceusConfig, dtype):
+    """SSD (Mamba-2) mapping: mamba_ssm ``Mamba2`` packing -> framework
+    pytree. in_proj.weight rows are [z | x | B | C | dt]; conv1d covers the
+    packed [x | B | C] stream; dt_bias/A_log/D are per-head; norm is the
+    gated RMSNorm weight. Direction tying detected on the z|x rows only
+    (B/C/dt stay per-direction even when in_proj is tied)."""
+    G = cfg.n_directions
+    di, H = cfg.d_inner, cfg.n_heads
+    NGN = cfg.n_groups * cfg.d_state
+
+    def layer(i: int):
+        base = f"layers.{i}."
+
+        def dir_name(g: int) -> str:
+            return "mamba_fwd" if g == 0 else "mamba_rev"
+
+        in_w = [r.maybe(base, dir_name(g), "in_proj.weight")
+                for g in range(G)]
+        if in_w[0] is None:
+            in_w = [r.get(base, "in_proj.weight")]
+        # rows: [z(di) | x(di) | B(NGN) | C(NGN) | dt(H)]
+        zx = [w[: 2 * di].T for w in in_w if w is not None]  # [d, 2di]
+        tied = len(zx) == 1 or np.array_equal(zx[0], zx[1])
+        zx_kept = zx[: (1 if tied else G)]
+        in_proj_z = np.stack([w[:, :di] for w in zx_kept])
+        in_proj_x = np.stack([w[:, di:] for w in zx_kept])
+        rest = [w if w is not None else in_w[0] for w in in_w]
+        in_proj_B = np.stack([w[2 * di : 2 * di + NGN].T for w in rest])
+        in_proj_C = np.stack(
+            [w[2 * di + NGN : 2 * di + 2 * NGN].T for w in rest])
+        in_proj_dt = np.stack([w[2 * di + 2 * NGN :].T for w in rest])
+
+        def per_dir(*frag, transform=lambda x: x):
+            vals = []
+            for g in range(G):
+                v = r.maybe(base, dir_name(g), *frag)
+                if v is None:
+                    v = r.get(base, *frag)
+                vals.append(transform(v))
+            return np.stack(vals)
+
+        cw = per_dir("conv1d.weight", transform=lambda w: w[:, 0, :])
+        cb = per_dir("conv1d.bias")
+        # Gated-RMS-norm weight: must not collide with the BLOCK norm
+        # (layers.{i}.norm.weight) — anchor the fallback on "mixer".
+        norm_vals = []
+        for g in range(G):
+            v = r.maybe(base, dir_name(g), "norm.weight")
+            if v is None:
+                v = r.get(base, "mixer", "norm.weight")
+            norm_vals.append(v)
+        norm_w = np.stack(norm_vals)
+        tied_n = G == 1 or np.array_equal(norm_w[0], norm_w[-1])
+        out_w = [r.maybe(base, dir_name(g), "out_proj.weight")
+                 for g in range(G)]
+        if out_w[0] is None:
+            out_w = [r.get(base, "out_proj.weight")]
+        out_kept = [w.T for w in out_w if w is not None]
+        tied_o = len(out_kept) == 1 or np.array_equal(out_kept[0],
+                                                      out_kept[1])
+        # Block norm: exact-suffix candidates so the pattern cannot also
+        # match the mixers' gated-norm keys.
+        bn = r.maybe(f"layers.{i}.norm.weight")
+        if bn is None:
+            bn = r.maybe(f"layers.{i}.norm.submodule.weight")
+        if bn is None:
+            raise KeyError(f"block norm weight not found for layer {i}")
+        return {
+            "norm_weight": bn,
+            "in_proj_x": in_proj_x,
+            "in_proj_z": in_proj_z,
+            "in_proj_B": in_proj_B,
+            "in_proj_C": in_proj_C,
+            "in_proj_dt": in_proj_dt,
+            "conv_x_w": cw[:, :di],
+            "conv_x_b": cb[:, :di],
+            "conv_B_w": cw[:, di : di + NGN],
+            "conv_B_b": cb[:, di : di + NGN],
+            "conv_C_w": cw[:, di + NGN :],
+            "conv_C_b": cb[:, di + NGN :],
+            "mixer_norm_weight": norm_w[:1] if tied_n else norm_w,
+            "out_proj": np.stack(out_kept[: (1 if tied_o else G)]),
+            "dt_bias": per_dir("dt_bias"),
+            "A_log": per_dir("A_log"),
+            "D": per_dir("D"),
+        }
+
+    layers = [layer(i) for i in range(cfg.n_layer)]
+    f32_leaves = ("dt_bias", "A_log", "D")
+    blocks = {
+        k: jnp.asarray(np.stack([l[k] for l in layers]),
+                       jnp.float32 if k in f32_leaves else dtype)
+        for k in layers[0]
+    }
+    emb_key = (r.find("embeddings", "weight")
+               or r.find("word_embeddings", "weight"))
+    if emb_key is None:
+        raise KeyError("embedding weights not found")
+    params = {
+        "embedding": jnp.asarray(sd[emb_key], dtype),
+        "blocks": blocks,
+        "norm_f_weight": jnp.asarray(r.get("norm_f", "weight"), dtype),
+    }
+    lm = r.maybe("lm_head", "weight")
+    if lm is not None and not np.array_equal(
+            lm, np.asarray(sd[emb_key], np.float32)):
+        params["lm_head"] = jnp.asarray(lm, dtype)
+    return params
+
+
 def _build_pytree(r: "_Resolver", sd: Dict[str, np.ndarray],
                   cfg: CaduceusConfig, dtype):
     """The mapping itself: resolver + state dict -> framework pytree.
     Shared by import_params (which adds the strict bijection proof) and
     audit (which reports forensics instead of raising)."""
+    if cfg.ssm_variant == "mamba2":
+        return _build_pytree_mamba2(r, sd, cfg, dtype)
     G = cfg.n_directions
 
     def layer(i: int):

@@ -274,3 +274,58 @@ def test_export_import_roundtrip(tmp_path, rng):
     o1 = caduceus.forward(params, ids, cfg, dtype=jnp.float32)["logits"]
     o2 = caduceus.forward(params2, ids, cfg2, dtype=jnp.float32)["logits"]
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5)
+
+
+def test_export_import_roundtrip_mamba2(tmp_path, rng):
+    """The SSD (Mamba-2) family round-trips through the mamba_ssm Mamba2
+    torch packing (in_proj rows [z|x|B|C|dt], conv1d over [x|B|C], per-head
+    dt_bias/A_log/D, gated norm): params and forward identical, strict
+    bijection holds, and the config re-derives the variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from plantcaduceus_tpu.compat.hf_export import export_hf_dir
+    from plantcaduceus_tpu.models import caduceus
+
+    cfg = CaduceusConfig(d_model=32, n_layer=2, vocab_size=16,
+                         ssm_variant="mamba2", d_state=8, head_dim=16,
+                         chunk_size=32)
+    params = caduceus.init_params(jax.random.PRNGKey(3), cfg)
+    export_hf_dir(tmp_path / "exp", params, cfg)
+    params2, cfg2 = hf_import.import_params(tmp_path / "exp")
+    assert cfg2.ssm_variant == "mamba2"
+    assert (cfg2.head_dim, cfg2.n_groups, cfg2.chunk_size, cfg2.d_state) == \
+        (cfg.head_dim, cfg.n_groups, cfg.chunk_size, cfg.d_state)
+    assert set(params2["blocks"]) == set(params["blocks"])
+    for k in params["blocks"]:
+        np.testing.assert_allclose(np.asarray(params["blocks"][k]),
+                                   np.asarray(params2["blocks"][k]),
+                                   rtol=1e-6, err_msg=k)
+    ids = jnp.asarray(rng.integers(7, 11, size=(1, 32)), jnp.int32)
+    o1 = caduceus.forward(params, ids, cfg, dtype=jnp.float32)["logits"]
+    o2 = caduceus.forward(params2, ids, cfg2, dtype=jnp.float32)["logits"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5)
+
+    # the audit bijection holds for the mamba2 layout too
+    report = hf_import.audit(tmp_path / "exp")
+    assert report["ok"] and not report["stray"]
+
+
+def test_mamba2_export_reloads_through_model_loading(tmp_path, rng):
+    """An exported SSD checkpoint loads back through the standard CLI model
+    resolution (utils.model_loading), so distilled/trained -ssd models are
+    first-class citizens of every -model flag."""
+    import jax
+
+    from plantcaduceus_tpu.compat.hf_export import export_hf_dir
+    from plantcaduceus_tpu.models import caduceus
+    from plantcaduceus_tpu.utils.model_loading import load_model_and_tokenizer
+
+    cfg = CaduceusConfig(d_model=32, n_layer=2, vocab_size=16,
+                         ssm_variant="mamba2", d_state=8, head_dim=16,
+                         chunk_size=32)
+    params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
+    export_hf_dir(tmp_path / "ssd", params, cfg)
+    p2, cfg2, tok = load_model_and_tokenizer(str(tmp_path / "ssd"))
+    assert cfg2.ssm_variant == "mamba2"
+    assert set(p2["blocks"]) == set(params["blocks"])
