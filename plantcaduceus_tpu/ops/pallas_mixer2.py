@@ -288,38 +288,28 @@ def _interior_bwd(N, eps, chunk, reverse, res, g):
     dy = dv * silu_z
     dz = (dv * yf * (sig + silu_z * (1.0 - sig))).astype(z.dtype)
 
-    # --- SSD adjoint (Pallas) ----------------------------------------------
-    accxf = accx.astype(f32)
-    sx = jax.lax.logistic(accxf)
-    xc = (accxf * sx).astype(xi.dtype)
-    accBf = accB.astype(f32)
-    sB = jax.lax.logistic(accBf)
-    Bc = (accBf * sB).astype(xi.dtype)
-    accCf = accC.astype(f32)
-    sC = jax.lax.logistic(accCf)
-    Cc = (accCf * sC).astype(xi.dtype)
-    dxc, dB4, dC4, ddt_raw, dmass = _ssd_dir_bwd_kernel_call(
-        xc, dt, A, Bc.reshape(R, L, NG, N), Cc.reshape(R, L, NG, N),
-        Dsk, dtb, fentry, dy.astype(xi.dtype), chunk, reverse)
-    dtp = jax.nn.softplus(dt.astype(f32) + dtb.astype(f32))
+    # --- SSD adjoint (Pallas, pre-SiLU mode) -------------------------------
+    # The kernel re-applies SiLU to the emitted accumulators in VMEM and
+    # chains SiLU' onto the outgoing cotangents, so no [R, L, *] silu /
+    # dacc tensors are rebuilt in XLA; gx/dtp come back for dD/dA.
+    dacc_x, dB4, dC4, ddt_raw, dmass, gx, dtp = _ssd_dir_bwd_kernel_call(
+        accx, dt, A, accB.reshape(R, L, NG, N), accC.reshape(R, L, NG, N),
+        Dsk, dtb, fentry, dy.astype(xi.dtype), chunk, reverse,
+        pre_silu=True)
     dA = jnp.einsum("rlh,rlh->h", dmass, dtp).astype(A.dtype)
     ddtb = jnp.sum(ddt_raw, axis=(0, 1)).astype(dtb.dtype)
-    gx = (dy * xc.astype(f32)).reshape(R, L, H, di // H)
-    dD = jnp.sum(gx, axis=(0, 1, 3)).astype(Dsk.dtype)
+    dD = jnp.sum(gx, axis=(0, 1)).astype(Dsk.dtype)
 
-    # --- SiLU + depthwise-conv transposes ----------------------------------
-    def conv_bwd(dpost, accf, s, inp, w, b):
-        dacc = dpost.astype(f32) * (s * (1.0 + accf * (1.0 - s)))
+    # --- depthwise-conv transposes (linear; XLA conv-transpose) ------------
+    def conv_bwd(dacc, inp, w, b):
         fn = lambda x_, w_, b_: depthwise_conv_xla(
             x_, w_, b_, activation=None, anticausal=reverse)
         _, vjp = jax.vjp(fn, inp.astype(f32), w.astype(f32), b.astype(f32))
         return vjp(dacc)
 
-    dxi, dcxw, dcxb = conv_bwd(dxc, accxf, sx, xi, cxw, cxb)
-    dBraw, dcbw, dcbb = conv_bwd(dB4.reshape(R, L, NGN), accBf, sB,
-                                 Braw, cbw, cbb)
-    dCraw, dccw, dccb = conv_bwd(dC4.reshape(R, L, NGN), accCf, sC,
-                                 Craw, ccw, ccb)
+    dxi, dcxw, dcxb = conv_bwd(dacc_x, xi, cxw, cxb)
+    dBraw, dcbw, dcbb = conv_bwd(dB4.reshape(R, L, NGN), Braw, cbw, cbb)
+    dCraw, dccw, dccb = conv_bwd(dC4.reshape(R, L, NGN), Craw, ccw, ccb)
 
     return (dxi.astype(xi.dtype), dz, dBraw.astype(Braw.dtype),
             dCraw.astype(Craw.dtype), ddt_raw.astype(dt.dtype),

@@ -288,9 +288,9 @@ ssd_dir.defvjp(_ssd_dir_fwd, _ssd_dir_bwd)
 
 
 def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
-                fe_ref, dx_ref, dB_ref, dC_ref, ddt_ref, dm_ref, Rv_scr,
-                *, T: int, H: int, P: int, NG: int, N: int, nc: int,
-                reverse: bool, mm, out_dtype):
+                fe_ref, *out_refs,
+                T: int, H: int, P: int, NG: int, N: int, nc: int,
+                reverse: bool, mm, out_dtype, pre_silu: bool = False):
     """Adjoint of one SSD chunk. Direction-generic via the forward's
     segbase/into/outof/mask conventions; processes chunks in the opposite
     order to the forward, carrying the cotangent state Rv in VMEM and
@@ -306,7 +306,20 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
         cumsum of into_e·w), exit (masked cumsum of scale·v0), and
         entry×exit (exp2(total)·<Rv_exit,F_entry>).
     M_sum = Σ_h (g@x̃ᵀ)⊙segexp; every exponent above is ≤ 0.
+
+    ``pre_silu`` mode (the fused-mixer training backward): x/B/C refs hold
+    PRE-SiLU conv accumulators; SiLU re-applies in-kernel and the outgoing
+    dx/dB/dC cotangents are multiplied by SiLU' — so the [R, L, *]
+    silu-recompute and dacc-multiply tensors never exist in HBM, and extra
+    gx/dtp outputs let the caller assemble dD/dA without its own passes.
     """
+    rest = list(out_refs)
+    dx_ref, dB_ref, dC_ref, ddt_ref, dm_ref = rest[:5]
+    rest = rest[5:]
+    if pre_silu:
+        gx_ref, dtp_ref = rest[:2]
+        rest = rest[2:]
+    (Rv_scr,) = rest
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -349,12 +362,21 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
     fe = fe_ref[0, 0]                              # [N, HP] fp32
     hg = H // NG
 
-    cw, cv0, cmi, cdir, cxdx, csc = [], [], [], [], [], []
+    cw, cv0, cmi, cdir, cxdx, csc, cgx = [], [], [], [], [], [], []
     for gi in range(NG):
-        Bg = B_ref[0, :, gi, :]                    # [T, N]
-        Cg = C_ref[0, :, gi, :]
+        if pre_silu:
+            accB = B_ref[0, :, gi, :].astype(f32)  # pre-SiLU accumulators
+            sB = jax.nn.sigmoid(accB)
+            Bf = accB * sB
+            accC = C_ref[0, :, gi, :].astype(f32)
+            sC = jax.nn.sigmoid(accC)
+            Cf = accC * sC
+            Bg, Cg = Bf, Cf
+        else:
+            Bg = B_ref[0, :, gi, :]                # [T, N]
+            Cg = C_ref[0, :, gi, :]
+            Bf, Cf = Bg.astype(f32), Cg.astype(f32)
         Bmm, Cmm = Bg.astype(mm), Cg.astype(mm)
-        Bf, Cf = Bg.astype(f32), Cg.astype(f32)
         GBC = jax.lax.dot_general(
             Cmm, Bmm, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)            # [T(t), T(s)]
@@ -368,7 +390,12 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
             seg = colv(segbase, h) - rowv(segbase_T, h)
             segexp = jnp.exp2(jnp.where(maskb, seg, -jnp.inf))
             scores = GBC * segexp
-            x_h = x[:, h * P:(h + 1) * P].astype(f32)
+            if pre_silu:
+                accx_h = x[:, h * P:(h + 1) * P].astype(f32)
+                sx_h = jax.nn.sigmoid(accx_h)
+                x_h = accx_h * sx_h
+            else:
+                x_h = x[:, h * P:(h + 1) * P].astype(f32)
             g_h = g[:, h * P:(h + 1) * P]
             xt_h = x_h * colv(dtp, h)              # x̃
             GXG = jax.lax.dot_general(
@@ -407,6 +434,12 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
             dx_h = colv(dtp, h) * dxt + \
                 jax.lax.slice(D_ref[...].astype(f32), (0, h), (1, h + 1)) * \
                 g_h.astype(f32)
+            if pre_silu:
+                # chain through the in-kernel SiLU: emit d/d(acc), and the
+                # g·x dot the caller's dD assembly needs
+                dx_h = dx_h * (sx_h * (1.0 + accx_h * (1.0 - sx_h)))
+                cgx.append(jnp.sum(g_h.astype(f32) * x_h,
+                                   axis=1).reshape(T, 1))
             dxs.append(dx_h.astype(out_dtype))
             gss.append((g_h.astype(f32) * colv(into_e, h)).astype(mm))
 
@@ -416,6 +449,9 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
         dC_g = jax.lax.dot_general(
             M_sum.astype(mm), Bmm, (((1,), (0,)), ((), ())),
             preferred_element_type=f32) + dCacc    # [T(t), N]
+        if pre_silu:
+            dB_g = dB_g * (sB * (1.0 + accB * (1.0 - sB)))
+            dC_g = dC_g * (sC * (1.0 + accC * (1.0 - sC)))
         dB_ref[0, :, gi, :] = dB_g.astype(out_dtype)
         dC_ref[0, :, gi, :] = dC_g.astype(out_dtype)
         dx_ref[0, :, sl] = jnp.concatenate(dxs, axis=1)
@@ -443,6 +479,9 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
     ddtp = ddirect + mass * A
     ddt_ref[0] = (jax.nn.sigmoid(dt_raw + dtb) * ddtp).astype(f32)
     dm_ref[0] = mass.astype(f32)
+    if pre_silu:
+        gx_ref[0] = jnp.concatenate(cgx, axis=1).astype(f32)   # [T, H]
+        dtp_ref[0] = dtp.astype(f32)
 
 
 def tote_rep(tote, gi, hg, P):
@@ -451,8 +490,15 @@ def tote_rep(tote, gi, hg, P):
 
 
 def _ssd_dir_bwd_kernel_call(x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g,
-                             chunk: int, reverse: bool):
-    """-> (dx, ddt_raw, dBm, dCm, dmass) via the backward Pallas kernel."""
+                             chunk: int, reverse: bool,
+                             pre_silu: bool = False):
+    """-> (dx, dBm, dCm, ddt_raw, dmass[, gx, dtp]) via the backward Pallas
+    kernel. With ``pre_silu`` the x/Bm/Cm arguments are PRE-SiLU conv
+    accumulators (the fused-mixer training residuals): SiLU re-applies
+    in-kernel, the returned dx/dBm/dCm are cotangents w.r.t. the
+    accumulators (SiLU' chained in-kernel), and gx/dtp ship the Σ_P g·x and
+    softplus(dt+bias) values the caller needs for dD/dA — no [R, L, *]
+    silu-recompute or dacc-multiply passes in XLA."""
     R, L, HP = x.shape
     H = dt.shape[-1]
     P = HP // H
@@ -466,7 +512,31 @@ def _ssd_dir_bwd_kernel_call(x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g,
     bidx = lambda r, c: (r, fidx(nc - 1 - c))
     kern = functools.partial(
         _bwd_kernel, T=T, H=H, P=P, NG=NG, N=N, nc=nc, reverse=reverse,
-        mm=mm, out_dtype=jnp.float32)
+        mm=mm, out_dtype=jnp.float32, pre_silu=pre_silu)
+    out_specs = [
+        pl.BlockSpec((1, T, HP), lambda r, c: (*bidx(r, c), 0)),    # dx
+        pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
+        pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
+        pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # ddt
+        pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # dm
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((R, L, HP), jnp.float32),
+        jax.ShapeDtypeStruct((R, L, NG, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, L, NG, N), jnp.float32),
+        jax.ShapeDtypeStruct((R, L, H), jnp.float32),
+        jax.ShapeDtypeStruct((R, L, H), jnp.float32),
+    ]
+    if pre_silu:
+        # gx (per-position Σ_P g·silu(acc), for dD) and dtp (for dA)
+        out_specs += [
+            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),
+            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((R, L, H), jnp.float32),
+            jax.ShapeDtypeStruct((R, L, H), jnp.float32),
+        ]
     outs = pl.pallas_call(
         kern,
         grid=(R, nc),
@@ -481,20 +551,8 @@ def _ssd_dir_bwd_kernel_call(x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g,
             pl.BlockSpec((1, T, HP), lambda r, c: (*bidx(r, c), 0)),    # g
             pl.BlockSpec((1, 1, N, HP), lambda r, c: (*bidx(r, c), 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, T, HP), lambda r, c: (*bidx(r, c), 0)),    # dx
-            pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
-            pl.BlockSpec((1, T, NG, N), lambda r, c: (*bidx(r, c), 0, 0)),
-            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # ddt
-            pl.BlockSpec((1, T, H), lambda r, c: (*bidx(r, c), 0)),     # dm
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, L, HP), jnp.float32),
-            jax.ShapeDtypeStruct((R, L, NG, N), jnp.float32),
-            jax.ShapeDtypeStruct((R, L, NG, N), jnp.float32),
-            jax.ShapeDtypeStruct((R, L, H), jnp.float32),
-            jax.ShapeDtypeStruct((R, L, H), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((N, HP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
