@@ -77,7 +77,8 @@ TRAIN_LANE = [
     ("l20-ssd", "l20-ssd", 32, 512, 1),
     ("pc2-small", "pc2-small", 8, 8192, 1),
     # Long-context SSD training: the fused mamba2 training forward (r4)
-    # puts the -ssd family ahead at 8192 bp too (23.7k vs 21.1k tok/s).
+    # puts the -ssd family ahead at 8192 bp too (27.6k vs 21.1k tok/s
+    # after the pre-SiLU adjoint, r4).
     ("pc2-small-ssd", "pc2-small-ssd", 8, 8192, 1),
     # PC2-Medium (l48/d1024, 338M) trains on ONE chip at 8192 bp only up
     # to batch 2 (batch 4 OOMs even with remat); the recipe scales batch

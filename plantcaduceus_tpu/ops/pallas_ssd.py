@@ -366,11 +366,9 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
     for gi in range(NG):
         if pre_silu:
             accB = B_ref[0, :, gi, :].astype(f32)  # pre-SiLU accumulators
-            sB = jax.nn.sigmoid(accB)
-            Bf = accB * sB
+            Bf = accB * jax.nn.sigmoid(accB)
             accC = C_ref[0, :, gi, :].astype(f32)
-            sC = jax.nn.sigmoid(accC)
-            Cf = accC * sC
+            Cf = accC * jax.nn.sigmoid(accC)
             Bg, Cg = Bf, Cf
         else:
             Bg = B_ref[0, :, gi, :]                # [T, N]
@@ -391,9 +389,13 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
             segexp = jnp.exp2(jnp.where(maskb, seg, -jnp.inf))
             scores = GBC * segexp
             if pre_silu:
+                # Only the accumulator stays live across the head body;
+                # sigmoids recompute at their use points — keeping all
+                # three [T, P] f32 temporaries alive per unrolled head
+                # overflowed the Mosaic stack at d_inner 2048 (measured:
+                # 20.9M vs the 16M scoped-VMEM limit).
                 accx_h = x[:, h * P:(h + 1) * P].astype(f32)
-                sx_h = jax.nn.sigmoid(accx_h)
-                x_h = accx_h * sx_h
+                x_h = accx_h * jax.nn.sigmoid(accx_h)
             else:
                 x_h = x[:, h * P:(h + 1) * P].astype(f32)
             g_h = g[:, h * P:(h + 1) * P]
@@ -437,6 +439,7 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
             if pre_silu:
                 # chain through the in-kernel SiLU: emit d/d(acc), and the
                 # g·x dot the caller's dD assembly needs
+                sx_h = jax.nn.sigmoid(accx_h)
                 dx_h = dx_h * (sx_h * (1.0 + accx_h * (1.0 - sx_h)))
                 cgx.append(jnp.sum(g_h.astype(f32) * x_h,
                                    axis=1).reshape(T, 1))
@@ -450,7 +453,9 @@ def _bwd_kernel(dtb_ref, A_ref, D_ref, x_ref, dt_ref, B_ref, C_ref, g_ref,
             M_sum.astype(mm), Bmm, (((1,), (0,)), ((), ())),
             preferred_element_type=f32) + dCacc    # [T(t), N]
         if pre_silu:
+            sB = jax.nn.sigmoid(accB)
             dB_g = dB_g * (sB * (1.0 + accB * (1.0 - sB)))
+            sC = jax.nn.sigmoid(accC)
             dC_g = dC_g * (sC * (1.0 + accC * (1.0 - sC)))
         dB_ref[0, :, gi, :] = dB_g.astype(out_dtype)
         dC_ref[0, :, gi, :] = dC_g.astype(out_dtype)
@@ -555,7 +560,13 @@ def _ssd_dir_bwd_kernel_call(x, dt, A, Bm, Cm, Dskip, dt_bias, fentry, g,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((N, HP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # pre_silu keeps per-head accumulators live across the unrolled
+            # head body; at d_inner 2048 that puts the Mosaic stack just
+            # past the default 16M scoped-VMEM budget — raise the ceiling
+            # for this kernel (v5e VMEM is 128M; block/scratch DMAs here
+            # total < 8M, so 40M leaves full double-buffering headroom).
+            vmem_limit_bytes=40 * 1024 * 1024 if pre_silu else None),
     )(dt_bias.reshape(1, H).astype(jnp.float32),
       A.reshape(1, H).astype(jnp.float32),
       Dskip.reshape(1, H).astype(jnp.float32), x, dt, Bm, Cm, g, fentry)
