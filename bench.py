@@ -75,6 +75,7 @@ TRAIN_LANE = [
     ("l20", "l20", 32, 512, 1),
     ("l32", "l32", 32, 512, 1),
     ("l20-ssd", "l20-ssd", 32, 512, 1),
+    ("l32-ssd", "l32-ssd", 32, 512, 1),
     ("pc2-small", "pc2-small", 8, 8192, 1),
     # Long-context SSD training: the fused mamba2 training forward (r4)
     # puts the -ssd family ahead at 8192 bp too (27.6k vs 21.1k tok/s
