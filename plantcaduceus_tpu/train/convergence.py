@@ -111,11 +111,11 @@ def train_planted(cfg, steps: int, batch: int = 16, window: int = 128,
             losses.append((step + 1, float(m["loss"])))
     return {"losses": losses, "final_loss": losses[-1][1], "state": state,
             "corpus": corpus, "tokenizer": tok, "mesh": mesh, "cfg": cfg,
-            "dtype": dtype}
+            "dtype": dtype, "seed": seed}
 
 
 def evaluate_structure(run: Dict, n_eval: int = 128,
-                       seed: int = 1) -> Dict[str, float]:
+                       seed: int = 1, held_out: bool = True) -> Dict[str, float]:
     """Probe what the trained model knows, with single-position masking:
 
     * motif_accuracy     — masked base INSIDE a planted motif (predictable
@@ -124,6 +124,12 @@ def evaluate_structure(run: Dict, n_eval: int = 128,
     * repeat_loss        — mean NLL of masked bases inside the lowercase
                            tandem tract (predictable; how LOW it is measures
                            how much the soft-mask weight let it be learned)
+
+    ``held_out=True`` (default) probes FRESH sequences from the same
+    generator with a disjoint seed — sequences never trained on — so motif
+    accuracy asserts generalization of the planted rule, not recall of the
+    training corpus (VERDICT r4 #6). The background-at-chance check stays
+    either way as the gross-memorization bound.
     """
     import jax
     import jax.numpy as jnp
@@ -134,7 +140,14 @@ def evaluate_structure(run: Dict, n_eval: int = 128,
     cfg, tok = run["cfg"], run["tokenizer"]
     params = run["state"].params
     rng = np.random.default_rng(seed)
-    corpus = run["corpus"][:n_eval]
+    if held_out:
+        window = len(run["corpus"][0])
+        # train_planted draws the corpus at seed+100; +987654 is disjoint
+        # for any sane caller seed.
+        corpus = planted_corpus(n_eval, window,
+                                seed=run.get("seed", 0) + 987654)
+    else:
+        corpus = run["corpus"][:n_eval]
     rs, re = REPEAT_SPAN
 
     nuc = nucleotide_ids(tok)
@@ -176,7 +189,7 @@ def evaluate_structure(run: Dict, n_eval: int = 128,
 
     kind = np.array(kind)
     true_arr = np.array(true_b)
-    res = {}
+    res = {"held_out": held_out}
     for k, name in (("m", "motif"), ("b", "background"), ("r", "repeat")):
         sel = kind == k
         res[f"{name}_accuracy"] = float((pred[sel] == true_arr[sel]).mean())

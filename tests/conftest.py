@@ -13,6 +13,11 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Route the persistent compile cache to the host-fingerprinted CPU dir
+# (plantcaduceus_tpu/__init__.py): XLA:CPU AOT entries are host-specific
+# but cache-keyed host-independently, so test-written entries must never
+# land in the shared TPU cache dir.
+os.environ.setdefault("PCAD_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 

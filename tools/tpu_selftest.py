@@ -166,6 +166,9 @@ def check_ssd(rng, fast):
                                     chunk=128, directions=dirs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **FP32)
 
+    if fast:  # --fast certifies forwards only; grads are the slow compiles
+        return
+
     def loss_pl(*a):
         with _ctx():
             y = pallas_ssd.ssd_pallas(*a, chunk=128, directions=dirs)
@@ -279,9 +282,19 @@ CHECKS = [
     ("flash_attention_value_grads", check_flash_attention),
 ]
 
+# --fast: one check per SSM family, forward-only — certifies the scoring
+# path's kernels in a fraction of the cold-compile cost (the grad checks
+# are the ≥1400s-cold compiles). bench.py runs this subset before timing
+# and the full set only if wall-clock budget remains.
+CHECKS_FAST = [
+    ("scan_fwd_fp32_bf16", check_scan_fwd),
+    ("ssd_value_grads", check_ssd),  # fwd-only under fast
+]
+
 
 def run(fast: bool = False) -> bool:
-    """Run all checks; returns True iff every check passed."""
+    """Run all checks (or the --fast forward-only subset); returns True iff
+    every check passed."""
     import jax
 
     # References must be exact: force full-precision matmuls so any
@@ -296,7 +309,8 @@ def run(fast: bool = False) -> bool:
         platform = jax.devices()[0].platform
         rng = np.random.default_rng(1234)
         ok = True
-        for name, fn in CHECKS:
+        checks = CHECKS_FAST if fast else CHECKS
+        for name, fn in checks:
             t0 = time.time()
             try:
                 fn(rng, fast)
@@ -311,7 +325,8 @@ def run(fast: bool = False) -> bool:
                                   "platform": platform,
                                   "error": " / ".join(msg[:4])}), flush=True)
         print(json.dumps({"selftest": "pass" if ok else "FAIL",
-                          "platform": platform, "checks": len(CHECKS)}),
+                          "fast": fast,
+                          "platform": platform, "checks": len(checks)}),
               flush=True)
         return ok
     finally:
