@@ -600,12 +600,11 @@ def main():
 
     run_lane("selftest:fast", "selftest_fast", 1.0, fast_selftest)
 
-    # -- 3. rest of the ladder ----------------------------------------------
-    for model, n, batch, w in LADDER[1:]:
-        run_lane(f"ladder:{model}", "ladder", w,
-                 lambda m=model, nn=n, bb=batch: ladder_lane(m, nn, bb))
-
-    # -- 4. training lanes --------------------------------------------------
+    # -- 3./4. ladder + training lanes, priority-interleaved ----------------
+    # On a truly cold compile cache the full ladder alone can exceed any
+    # plausible driver timeout, so the 512-bp ladder and the headline
+    # training lanes (the numbers VERDICT r4 #2 re-validates) run BEFORE
+    # the expensive 8192-bp pc2 ladder compiles; pc2 training lanes last.
     try:
         anchors = json.load(open(TRAIN_ANCHORS_PATH))
     except Exception:
@@ -628,10 +627,27 @@ def main():
         print(json.dumps({"train": lname, **r,
                           "anchor_tokens_per_s": anchor}), flush=True)
 
-    for lname, model, batch, window, accum, w in TRAIN_LANE:
-        run_lane(f"train:{lname}", "train", w,
-                 lambda a=lname, b=model, c=batch, d=window, e=accum:
-                 train_lane(a, b, c, d, e))
+    ladder_by_name = {m: (m, n, b, w) for m, n, b, w in LADDER}
+    train_by_name = dict((t[0], t) for t in TRAIN_LANE)
+    order = ([("ladder", ladder_by_name[m]) for m in
+              ("l24", "l28", "l32", "l20-ssd", "l32-ssd")]
+             + [("train", train_by_name[t]) for t in
+                ("l20", "l20-ssd", "lora-l20-accum4", "l32", "l32-ssd")]
+             + [("ladder", ladder_by_name[m]) for m in
+                ("pc2-small", "pc2-small-ssd", "pc2-medium",
+                 "pc2-medium-ssd", "pc2-large")]
+             + [("train", train_by_name[t]) for t in
+                ("pc2-small", "pc2-small-ssd", "pc2-medium")])
+    for kind, spec in order:
+        if kind == "ladder":
+            model, n, batch, w = spec
+            run_lane(f"ladder:{model}", "ladder", w,
+                     lambda m=model, nn=n, bb=batch: ladder_lane(m, nn, bb))
+        else:
+            lname, model, batch, window, accum, w = spec
+            run_lane(f"train:{lname}", "train", w,
+                     lambda a=lname, b=model, c=batch, d=window, e=accum:
+                     train_lane(a, b, c, d, e))
     if STATE["regressions"]:
         print(json.dumps({"TRAIN_REGRESSION": STATE["regressions"]}),
               flush=True)

@@ -9,6 +9,12 @@ semantics: 0.1 train) must measurably slow learning of the lowercase
 repeat tract relative to weight 1.0. An optimizer-wiring, masking, or
 loss-weighting bug that still descends fails here.
 
+Probes are HELD OUT (evaluate_structure's default draws fresh sequences
+from the same generator with a disjoint seed, VERDICT r4 #6): motif
+accuracy asserts the planted RULE generalizes to sequences never trained
+on, not recall of the training corpus; background-at-chance doubles as
+the leakage/memorization bound.
+
 Reference validation surface: /root/reference/src/HF_pre_train.py:479-516
 (the recipe that trained the released models).
 """
