@@ -246,6 +246,42 @@ def run_lane(name: str, category: str, weight: float, fn):
 
 
 # ---------------------------------------------------------------------------
+# Per-lane process isolation
+# ---------------------------------------------------------------------------
+# Measured (r5): l32 full-train = 1.496 s/step in a fresh process but
+# 2.57 s/step when run as the 4th train lane of one long bench process —
+# accumulated process state (donated-buffer chains / relay runtime state
+# from earlier lanes) poisons later heavyweight lanes by ~1.7x. Every
+# ladder/train lane therefore runs in its own subprocess on TPU: fresh
+# HBM, fresh relay chain, compile cache shared via the persistent XLA
+# cache, and a lane OOM can no longer kill the bench. In-process mode
+# remains for CPU harness tests (PCAD_BENCH_ALLOW_CPU) and debugging
+# (PCAD_BENCH_NO_ISOLATE=1).
+
+ISOLATE = {"on": False}
+
+
+def _measure_isolated(fn_name: str, args: tuple, timeout_s: float):
+    code = (f"import json, bench; r = bench.{fn_name}(*{args!r}); "
+            f"print('@@RESULT ' + json.dumps(r), flush=True)")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          env=dict(os.environ), capture_output=True,
+                          text=True, timeout=timeout_s)
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("@@RESULT "):
+            return json.loads(ln[len("@@RESULT "):])
+    raise RuntimeError(
+        f"{fn_name}{args} subprocess rc={proc.returncode}: "
+        f"{(proc.stderr or proc.stdout)[-300:]}")
+
+
+def _dispatch(fn_name: str, args: tuple, timeout_s: float = 2400.0):
+    if ISOLATE["on"]:
+        return _measure_isolated(fn_name, args, timeout_s)
+    return globals()[fn_name](*args)
+
+
+# ---------------------------------------------------------------------------
 # Measurements (unchanged math from r3/r4)
 # ---------------------------------------------------------------------------
 
@@ -407,7 +443,7 @@ def measure_convergence() -> dict:
 def check_convergence() -> list:
     """-> list of learn-regression strings (empty = healthy); prints the
     convergence JSON line and refreshes the anchor (best loss kept)."""
-    r = measure_convergence()
+    r = _dispatch("measure_convergence", ())
     STATE["convergence"] = r
     try:
         anchor = json.load(open(CONVERGENCE_ANCHOR_PATH))
@@ -543,6 +579,55 @@ def update_anchors() -> None:
 # ---------------------------------------------------------------------------
 
 
+def _probe_platform() -> dict:
+    """Device probe WITHOUT initialising a backend in this process: when
+    lanes run process-isolated, only one process may hold the TPU at a
+    time, so the main bench process must never claim it."""
+    if os.environ.get("PCAD_BENCH_ALLOW_CPU") or \
+            os.environ.get("PCAD_BENCH_NO_ISOLATE"):
+        import jax
+
+        from plantcaduceus_tpu.utils.platform import maybe_force_platform
+
+        maybe_force_platform()
+        d = jax.devices()[0]
+        return {"platform": d.platform, "kind": d.device_kind}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, json; d = jax.devices()[0]; "
+         "print('@@RESULT ' + json.dumps({'platform': d.platform, "
+         "'kind': d.device_kind}), flush=True)"],
+        cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+        timeout=300)
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("@@RESULT "):
+            return json.loads(ln[len("@@RESULT "):])
+    raise RuntimeError(f"device probe rc={proc.returncode}: "
+                       f"{(proc.stderr or proc.stdout)[-300:]}")
+
+
+def run_selftest(fast: bool) -> None:
+    """On-chip kernel certification; subprocess when lanes are isolated
+    (forwards the selftest's own JSON lines to our stdout)."""
+    if ISOLATE["on"]:
+        cmd = [sys.executable, os.path.join(REPO, "tools", "tpu_selftest.py")]
+        if fast:
+            cmd.append("--fast")
+        proc = subprocess.run(cmd, cwd=REPO, env=dict(os.environ),
+                              capture_output=True, text=True,
+                              timeout=2400 if fast else 3600)
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("{"):
+                print(ln, flush=True)
+        ok = proc.returncode == 0
+    else:
+        from tools.tpu_selftest import run as selftest
+
+        ok = selftest(fast=fast)
+    STATE["selftest"] = "pass" if ok else "FAIL"
+    STATE["selftest_scope"] = "fast" if fast else "full"
+
+
 def main():
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
     signal.signal(signal.SIGTERM, _on_term)
@@ -551,12 +636,8 @@ def main():
 
     # -- TPU assertion: fail fast and parseably off-TPU (VERDICT r4 #1a) ---
     try:
-        import jax
-
-        from plantcaduceus_tpu.utils.platform import maybe_force_platform
-
-        maybe_force_platform()
-        platform = jax.devices()[0].platform
+        probe = _probe_platform()
+        platform = probe["platform"]
     except Exception as e:
         STATE["errors"]["platform"] = f"jax device init failed: {e!s:.300}"
         emit_summary(partial=False)
@@ -567,13 +648,15 @@ def main():
             "fallback backend (set PCAD_BENCH_ALLOW_CPU=1 to override)")
         emit_summary(partial=False)
         sys.exit(2)
-    print(json.dumps({"platform": platform,
-                      "device_kind": jax.devices()[0].device_kind,
+    print(json.dumps({"platform": platform, "device_kind": probe["kind"],
                       "budget_s": BUDGET}), flush=True)
+
+    ISOLATE["on"] = (platform == "tpu"
+                     and not os.environ.get("PCAD_BENCH_NO_ISOLATE"))
 
     def ladder_lane(model, n, batch):
         window = 8192 if model.startswith("pc2") else 512
-        wps = measure(model, n, batch)
+        wps = _dispatch("measure", (model, n, batch))
         STATE["results"][model] = wps
         base = H100.get(model.replace("-ssd", ""))
         print(json.dumps({
@@ -591,14 +674,8 @@ def main():
     emit_summary(partial=True)  # a hard kill from here on still leaves l20
 
     # -- 2. fast selftest ---------------------------------------------------
-    def fast_selftest():
-        from tools.tpu_selftest import run as selftest
-
-        ok = selftest(fast=True)
-        STATE["selftest"] = "pass" if ok else "FAIL"
-        STATE["selftest_scope"] = "fast"
-
-    run_lane("selftest:fast", "selftest_fast", 1.0, fast_selftest)
+    run_lane("selftest:fast", "selftest_fast", 1.0,
+             lambda: run_selftest(fast=True))
 
     # -- 3./4. ladder + training lanes, priority-interleaved ----------------
     # On a truly cold compile cache the full ladder alone can exceed any
@@ -611,7 +688,7 @@ def main():
         anchors = {}
 
     def train_lane(lname, model, batch, window, accum):
-        r = measure_train(model, batch, window, accum)
+        r = _dispatch("measure_train", (model, batch, window, accum))
         anchor = anchors.get(lname)
         # Surface sub-tolerance drift explicitly: the 0.85 guard means a few
         # percent can be lost silently each round — record the per-lane delta
@@ -663,14 +740,8 @@ def main():
             f"convergence lane failed to run: {STATE['errors']['convergence']}"]
 
     # -- 6. full selftest (only if budget remains) --------------------------
-    def full_selftest():
-        from tools.tpu_selftest import run as selftest
-
-        ok = selftest(fast=False)
-        STATE["selftest"] = "pass" if ok else "FAIL"
-        STATE["selftest_scope"] = "full"
-
-    run_lane("selftest:full", "selftest_full", 1.0, full_selftest)
+    run_lane("selftest:full", "selftest_full", 1.0,
+             lambda: run_selftest(fast=False))
 
     # -- 7. scaling artifact (deterministic collective audit) ---------------
     run_scaling_artifact(timeout_s=min(max(remaining(), 0), 600))
