@@ -447,12 +447,15 @@ def bimamba_mixer_fused(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
 
 def _bimamba_mixer_fwd(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
                        dt_proj_w, dt_bias, A, Dskip):
-    from plantcaduceus_tpu.ops.pallas_scan import TRAIN_BL, pick_bl
+    from plantcaduceus_tpu.ops.pallas_scan import train_bl
 
     # divisor chunk so non-power-of-two lengths (e.g. 600-bp LoRA windows)
     # train; the bwd group resolves the same bl from the same inputs, so
-    # the emitted hb chunking always matches.
-    bl = pick_bl(xi.shape[1], min(TRAIN_BL, xi.shape[1]))
+    # the emitted hb chunking always matches. Width-aware: wide lanes
+    # (d_inner >= 3072, pc2-large) shrink bl to fit scoped VMEM. w_B is
+    # group-stacked here ([G, d_inner, N]) — the bwd resolves the same
+    # chunk from xg.shape ([B, L, d_inner]).
+    bl = train_bl(xi.shape[1], w_B.shape[1])
     res = [
         mixer_scan_fused(xi, conv_w[g], conv_b[g], w_dtlr[g], w_B[g],
                          w_C[g], dt_proj_w[g], dt_bias[g], A[g], Dskip[g],
@@ -468,7 +471,7 @@ def _bimamba_mixer_fwd(xi, z, conv_w, conv_b, w_dtlr, w_B, w_C,
 
 def _bimamba_mixer_bwd(saved, gy):
     from plantcaduceus_tpu.ops.conv import depthwise_conv_xla
-    from plantcaduceus_tpu.ops.pallas_scan import (TRAIN_BL, DEF_BD,
+    from plantcaduceus_tpu.ops.pallas_scan import (DEF_BD, train_bl,
                                                    _pallas_bwd_group)
 
     (xi, z, conv_w, conv_b, w_dtlr, w_B, w_C, dt_proj_w, dt_bias, A, Dskip,
@@ -492,7 +495,8 @@ def _bimamba_mixer_bwd(saved, gy):
             xg[None], dt_lr[None], A[g : g + 1],
             Bm[None], Cm[None], Dskip[g : g + 1],
             dt_bias[g : g + 1], dt_proj_w[g : g + 1].astype(f32),
-            gy_scan[None], hb, TRAIN_BL, DEF_BD, True, reverse=g == 1)
+            gy_scan[None], hb, train_bl(xg.shape[1], xg.shape[2]),
+            DEF_BD, True, reverse=g == 1)
         dxg, ddtlr, dA_g, dB, dC, dD_g, ddtb_g, dWdt_g = out
         dxg, ddtlr, dB, dC = (t[0] for t in (dxg, ddtlr, dB, dC))
 

@@ -337,5 +337,24 @@ def mamba2_mixer_interior(xi, z, Braw, Craw, dt, cxw, cxb, cbw, cbb, ccw,
     with the conv/norm transposes (see module docstring) — the training
     path, not just inference.
     """
+    chunk = _fit_chunk(chunk, xi.shape[1], xi.shape[2])
     return _interior(xi, z, Braw, Craw, dt, cxw, cxb, cbw, cbb, ccw, ccb,
                      nw, A, Dsk, dtb, d_state, eps, chunk, reverse)
+
+
+# Width cap (r5): the interior kernel's scoped-VMEM footprint scales with
+# chunk*d_inner ([T, di] conv/gate/residual tiles + the [N, di] state).
+# Measured on v5e: d_inner 2048 x chunk 128 fits (pc2-medium-ssd trains);
+# d_inner 3072 x chunk 128 (pc2-large-ssd width) overflows scoped VMEM at
+# compile in the residual-emitting training forward. SSD chunking is
+# mathematically exact at any divisor chunk, so wide lanes just halve the
+# time chunk until they fit; fwd and bwd both resolve through
+# mamba2_mixer_interior's clamp, so residual chunking always matches.
+MIXER2_FIT_ELEMS = 2048 * 128
+
+
+def _fit_chunk(chunk: int, L: int, di: int) -> int:
+    c = min(chunk, L)
+    while c > 32 and c * di > MIXER2_FIT_ELEMS and L % (c // 2) == 0:
+        c //= 2
+    return c

@@ -669,6 +669,28 @@ def _scan_op(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
 TRAIN_BL = 256  # chunking under grad: fwd hb chunks must match the bwd
                 # kernel's VMEM budget (4 live [bl, N, bd] fp32 tensors)
 
+# Width cap for the training chunk: the residual-emitting forward and the
+# adjoint also carry [bl, D]-shaped terms (conv stream, xg, per-chunk
+# residual slices), so their scoped-VMEM footprint grows with bl*D at
+# fixed bd. Measured on v5e: d_inner 2048 x bl 256 fits (pc2-medium
+# trains), d_inner 3072 x bl 256 overflows by 1.17 MB at compile
+# (pc2-large width, 17.17M vs the 16M scoped limit). Cap bl*D at the
+# known-good 2048*256 product and shrink bl for wider lanes — pc2-large's
+# d_inner 3072 resolves bl=128.
+TRAIN_BL_FIT_ELEMS = 2048 * 256
+
+
+def train_bl(L: int, D: int) -> int:
+    """Training time-chunk for a [.., L, D] scan: the fwd (hb emission)
+    and bwd kernels MUST resolve this identically from the same (L, D)."""
+    bl = pick_bl(L, min(TRAIN_BL, L))
+    while bl > 64 and bl * D > TRAIN_BL_FIT_ELEMS:
+        nxt = pick_bl(L, bl - 8)
+        if nxt == bl:
+            break
+        bl = nxt
+    return bl
+
 
 def _scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
                  bl, bd, t_inner, bb, directions, has_dtw):
@@ -684,7 +706,7 @@ def _scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w,
             x[g:g + 1], dt[g:g + 1], A[g:g + 1], Bm[g:g + 1], Cm[g:g + 1],
             Dskip[g:g + 1], dt_bias[g:g + 1],
             (dtw[g:g + 1] if dtw is not None else None),
-            TRAIN_BL, bd, 1, bb, reverse=rev)
+            train_bl(x.shape[2], x.shape[3]), bd, 1, bb, reverse=rev)
         ys.append(y_g)
         hbs.append(hb_g)
     y = jnp.concatenate(ys, axis=0)
@@ -704,7 +726,8 @@ def _scan_op_bwd(bl, bd, t_inner, bb, directions, has_dtw, res, gy):
             Bm[g:g + 1], Cm[g:g + 1], Dskip[g:g + 1],
             dt_bias[g:g + 1],
             dt_proj_w[g:g + 1] if has_dtw else None,
-            gy[g:g + 1], hbs[g], TRAIN_BL, bd, has_dtw, reverse=rev)
+            gy[g:g + 1], hbs[g], train_bl(x.shape[2], x.shape[3]), bd,
+            has_dtw, reverse=rev)
         parts.append(out)
     cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
     dx, ddt, dA, dB, dC, dD, ddtb, dW = (cat(i) for i in range(8))
@@ -743,10 +766,12 @@ def _bimamba_op_fwd(x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
     # kernel's chunk-boundary states for the chunk-local Pallas backward.
     y0, hb0 = _pallas_scan_group(
         x[0:1], dt_lr[0:1], A[0:1], Bm[0:1], Cm[0:1], Dskip[0:1],
-        dt_bias[0:1], dt_proj_w[0:1], TRAIN_BL, bd, 1, bb, reverse=False)
+        dt_bias[0:1], dt_proj_w[0:1], train_bl(x.shape[2], x.shape[3]),
+        bd, 1, bb, reverse=False)
     y1, hb1 = _pallas_scan_group(
         x[1:2], dt_lr[1:2], A[1:2], Bm[1:2], Cm[1:2], Dskip[1:2],
-        dt_bias[1:2], dt_proj_w[1:2], TRAIN_BL, bd, 1, bb, reverse=True)
+        dt_bias[1:2], dt_proj_w[1:2], train_bl(x.shape[2], x.shape[3]),
+        bd, 1, bb, reverse=True)
     y_sum = (y0[0] + y1[0]).astype(jnp.float32)
     y = (y_sum * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
     return y, (x, dt_lr, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, z,
@@ -771,7 +796,8 @@ def _bimamba_op_bwd(bl, bd, t_inner, bb, res, gy):
             x[g:g + 1], dt_lr[g:g + 1], A[g:g + 1],
             Bm[g:g + 1], Cm[g:g + 1], Dskip[g:g + 1],
             dt_bias[g:g + 1], dt_proj_w[g:g + 1],
-            gy_scan[g:g + 1], hb, TRAIN_BL, bd, True, reverse=g == 1))
+            gy_scan[g:g + 1], hb, train_bl(x.shape[2], x.shape[3]), bd,
+            True, reverse=g == 1))
     cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
     dx, ddt, dA, dBm, dCm, dD, ddtb, dW = (cat(i) for i in range(8))
     return (dx.astype(x.dtype), ddt.astype(dt_lr.dtype), dA,

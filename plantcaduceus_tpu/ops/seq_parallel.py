@@ -39,7 +39,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from plantcaduceus_tpu.ops.pallas_scan import (DEF_BD, DEF_BL, TRAIN_BL,
+from plantcaduceus_tpu.ops.pallas_scan import (DEF_BD, DEF_BL, train_bl,
                                                _pallas_bwd_group,
                                                _pallas_scan_group)
 
@@ -72,8 +72,8 @@ def _sp_scan_op_fwd(x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, h0,
                     bl, bd, reverse, has_dtw):
     y, hb, hfin = _pallas_scan_group(
         x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w if has_dtw else None,
-        TRAIN_BL, bd, 1, 1, reverse=reverse, emit_hb=True, h0=h0,
-        emit_hfin=True)
+        train_bl(x.shape[2], x.shape[3]), bd, 1, 1, reverse=reverse,
+        emit_hb=True, h0=h0, emit_hfin=True)
     return (y, hfin), (x, dt, A, Bm, Cm, Dskip, dt_bias, dt_proj_w, hb)
 
 
@@ -85,7 +85,7 @@ def _sp_scan_op_bwd(bl, bd, reverse, has_dtw, res, cts):
     out = _pallas_bwd_group(
         x, dt, A, Bm, Cm, Dskip, dt_bias,
         dt_proj_w if has_dtw else None,
-        gy, hb, TRAIN_BL, bd, has_dtw,
+        gy, hb, train_bl(x.shape[2], x.shape[3]), bd, has_dtw,
         g0=ghfin.astype(jnp.float32), emit_dh0=True, reverse=reverse)
     dx, ddt, dA, dB, dC, dD, ddtb, dW, dh0 = out
     return (dx.astype(x.dtype), ddt.astype(dt.dtype), dA,

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--window", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--ssd", action="store_true",
+                    help="mamba2 (SSD) variant of the stage")
     args = ap.parse_args()
 
     import jax
@@ -50,8 +52,9 @@ def main():
     from plantcaduceus_tpu.train import step as step_lib
     from plantcaduceus_tpu.train.masking import MlmCollator
 
-    cfg = CaduceusConfig(d_model=args.d_model, n_layer=args.layers,
-                         d_state=16)
+    kw = dict(ssm_variant="mamba2", d_state=128) if args.ssd else \
+        dict(d_state=16)
+    cfg = CaduceusConfig(d_model=args.d_model, n_layer=args.layers, **kw)
     params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     mesh = meshlib.make_mesh()
@@ -84,7 +87,8 @@ def main():
     except Exception:
         pass
     print(json.dumps({
-        "stage": f"l{args.layers}/d{args.d_model}",
+        "stage": f"l{args.layers}/d{args.d_model}"
+                 + ("-ssd" if args.ssd else ""),
         "params": n_params,
         "window": args.window, "batch": args.batch,
         "s_per_step": round(dt, 3),
