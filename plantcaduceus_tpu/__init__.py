@@ -20,28 +20,21 @@ import jax as _jax
 # the cache makes every subsequent process start in seconds. Opt out with
 # PCAD_NO_COMPILE_CACHE=1.
 #
-# CPU-backend processes (tests, the virtual-mesh tools) get a cache dir
-# scoped by a host fingerprint: XLA:CPU AOT entries bake in the compiling
-# host's CPU features but the cache key does NOT cover them, so entries
-# written on one machine poison another's run with per-entry
-# "machine-feature mismatch" errors + full recompiles (~/.cache persists
-# across the rotating hosts here — this is what drowned the round-4 driver
-# bench). TPU executables have no such host dependence; they stay in the
-# shared dir so a warmed cache carries across machines.
-if not _os.environ.get("PCAD_NO_COMPILE_CACHE"):
+# CPU-platform processes (tests, the virtual-mesh tools) do NOT enable the
+# cache: XLA:CPU AOT entries on this jax version don't round-trip even on
+# the machine that wrote them (the serialized target config bakes in
+# codegen options — prefer-no-scatter/gather — that the loader's
+# host-feature check rejects), so every load is a logged
+# "machine-feature mismatch" error plus a full recompile: pure cost. This
+# also stops CPU entries poisoning the shared dir across the rotating
+# hosts here (~/.cache persists between machines — the mismatch spew is
+# what drowned the round-4 driver bench). TPU executables are
+# host-independent; they stay cached and carry across machines.
+if not _os.environ.get("PCAD_NO_COMPILE_CACHE") and \
+        _os.environ.get("PCAD_PLATFORM", "") != "cpu":
     _cache_dir = _os.environ.get(
         "PCAD_COMPILE_CACHE_DIR",
         _os.path.expanduser("~/.cache/plantcaduceus_tpu/xla"))
-    if _os.environ.get("PCAD_PLATFORM", "") == "cpu":
-        import hashlib as _hashlib
-
-        try:
-            with open("/proc/cpuinfo") as _fh:
-                _flags = next((ln for ln in _fh if ln.startswith("flags")), "")
-        except OSError:
-            _flags = ""
-        _host = _hashlib.md5(_flags.encode()).hexdigest()[:10]
-        _cache_dir = _os.path.join(_cache_dir + "-cpu", _host)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -13,10 +13,11 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# Route the persistent compile cache to the host-fingerprinted CPU dir
-# (plantcaduceus_tpu/__init__.py): XLA:CPU AOT entries are host-specific
-# but cache-keyed host-independently, so test-written entries must never
-# land in the shared TPU cache dir.
+# Disables the persistent compile cache for the test run
+# (plantcaduceus_tpu/__init__.py): XLA:CPU AOT entries don't round-trip
+# (loader rejects the serialized codegen options), so caching them is a
+# logged error + full recompile per entry — and test-written entries must
+# never poison the shared TPU cache dir across the rotating hosts.
 os.environ.setdefault("PCAD_PLATFORM", "cpu")
 
 import jax  # noqa: E402
