@@ -110,6 +110,12 @@ TRAIN_LANE = [
     # fsdp/pipe mesh validated at real geometry in dryrun_multichip
     # (docs/PLANTCAD2.md "Training the big configs").
     ("pc2-medium", "pc2-medium", 2, 8192, 1, 2.4),
+    # One GPipe stage of pc2-large (24L/d1536, 376M) at the real 8192-bp
+    # window: the measured upper bound on the multi-chip recipe's per-chip
+    # activation+state footprint (docs/PLANTCAD2.md "Single-chip stage
+    # proxy") — driver-validated and anchor-guarded each round so the
+    # width-aware training chunks (d_inner 3072) can't silently regress.
+    ("pc2-large-stage", "pc2-large-stage", 1, 8192, 1, 2.6),
 ]
 
 # Cold-cost estimates per lane category (seconds at cost_weight 1.0, cold
@@ -336,7 +342,12 @@ def measure_train(model: str, batch: int, window: int,
     from plantcaduceus_tpu.train import step as step_lib
     from plantcaduceus_tpu.train.masking import MlmCollator
 
-    cfg = CaduceusConfig.preset(model)
+    if model == "pc2-large-stage":
+        # one pipe=2 stage of pc2-large at full width (not a released
+        # preset — a feasibility/regression config, see TRAIN_LANE)
+        cfg = CaduceusConfig(d_model=1536, n_layer=24, d_state=16)
+    else:
+        cfg = CaduceusConfig.preset(model)
     params = caduceus.init_params(jax.random.PRNGKey(0), cfg)
     n_params = _param_count(params)
     mesh = meshlib.make_mesh()
@@ -714,7 +725,8 @@ def main():
                 ("pc2-small", "pc2-small-ssd", "pc2-medium",
                  "pc2-medium-ssd", "pc2-large")]
              + [("train", train_by_name[t]) for t in
-                ("pc2-small", "pc2-small-ssd", "pc2-medium")])
+                ("pc2-small", "pc2-small-ssd", "pc2-medium",
+                 "pc2-large-stage")])
     for kind, spec in order:
         if kind == "ladder":
             model, n, batch, w = spec
