@@ -31,6 +31,21 @@ def test_train_bl_policy():
     assert PS.train_bl(512, 65536) >= 64
 
 
+def test_mixer2_fit_chunk_policy():
+    from plantcaduceus_tpu.ops.pallas_mixer2 import (MIXER2_FIT_ELEMS,
+                                                     _fit_chunk)
+
+    # narrow/medium widths keep the configured chunk
+    assert _fit_chunk(128, 8192, 2048) == 128      # pc2-medium-ssd
+    # pc2-large-ssd width halves until it fits
+    c = _fit_chunk(128, 8192, 3072)
+    assert c == 64 and c * 3072 <= MIXER2_FIT_ELEMS
+    # halving stops when divisibility would break (160 % 64 != 0)
+    assert _fit_chunk(128, 160, 8192) == 128
+    for L, di in ((8192, 3072), (512, 4096), (256, 8192), (192, 8192)):
+        assert L % _fit_chunk(128, L, di) == 0
+
+
 def test_grads_exact_through_shrunk_chunk(rng, monkeypatch):
     """Force the shrink path at a small test shape (interpret mode) and
     check kernel grads against the sequential reference — proves the
