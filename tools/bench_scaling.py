@@ -1,12 +1,14 @@
 """Measure 1->N scaling efficiency of the sharded scoring engine.
 
-The BASELINE.md north star is >=85% windows/s scaling efficiency from one
-chip to N. This harness times the same fixed workload on a 1-device mesh
-and on an N-device mesh (batch sharded over the data axis, weights
-replicated) and reports efficiency = wps_N / (N * wps_1). On a single-chip
-box it exercises the harness itself over the virtual CPU mesh
-(PCAD_PLATFORM=cpu with --xla_force_host_platform_device_count=N);
-on a real pod the same command produces the deliverable measurement.
+DEMOTED to informational on single-chip hosts (r5, VERDICT r4 #3): the
+virtual-CPU-mesh TIMING proxy swings ±40% with host contention and is
+useless as a regression signal — the round artifact (SCALING_r{N}.json)
+now carries tools/collective_audit.py's deterministic post-SPMD HLO
+collective inventory instead, pinned by tests/test_collective_audit.py.
+ON A REAL POD this harness is still the deliverable measurement for the
+BASELINE.md >=85% north star: it times the same fixed workload on a
+1-device mesh and an N-device mesh (batch sharded over the data axis,
+weights replicated) and reports efficiency = wps_N / (N * wps_1).
 
 Each device count is timed ``--repeats`` times (default 3); the reported
 windows/s is the MEDIAN, with min/max recorded as the spread — a
